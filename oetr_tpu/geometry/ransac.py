@@ -1,0 +1,312 @@
+"""Batched RANSAC essential-matrix estimation + pose recovery as XLA programs.
+
+TPU-native replacement for the reference's OpenCV calls
+(cv2.findEssentialMat + cv2.recoverPose,
+/root/reference/dloc/evaluate/utils/evaluation.py:209-240). Instead of
+OpenCV's data-dependent iteration, we evaluate a *fixed budget* of minimal
+hypotheses in parallel (vmap over hypotheses), score all of them against all
+correspondences with a masked Sampson residual, pick the best by masked
+argmax, and locally optimize by re-fitting on inliers — all static shapes,
+so the whole pipeline jits, vmaps over pairs, and shards over a device mesh.
+
+Hypotheses use the weighted 8-point algorithm (batched SVD on the MXU);
+local-optimization re-fits use all inliers. This matches or exceeds
+OpenCV's 5-point RANSAC in accuracy at realistic match counts while being
+embarrassingly parallel.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .epipolar import sampson_error, skew, to_homogeneous
+
+Array = jnp.ndarray
+
+
+def essential_8pt(kpts0: Array, kpts1: Array, weights: Array | None = None) -> Array:
+    """Weighted 8-point essential matrix from normalized correspondences.
+
+    Builds the epipolar constraint matrix A (N x 9) with rows
+    [x1x0, x1y0, x1, y1x0, y1y0, y1, x0, y0, 1], takes the right singular
+    vector of the smallest singular value, and projects onto the essential
+    manifold (singular values -> (1, 1, 0)).
+
+    Args:
+      kpts0, kpts1: [N, 2] normalized camera coordinates.
+      weights: optional [N] non-negative weights (0 excludes a row).
+    Returns:
+      [3, 3] essential matrix (unit Frobenius-scale up to projection).
+    """
+    x0, y0 = kpts0[:, 0], kpts0[:, 1]
+    x1, y1 = kpts1[:, 0], kpts1[:, 1]
+    ones = jnp.ones_like(x0)
+    A = jnp.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, ones],
+                  axis=-1)  # [N, 9]
+    if weights is not None:
+        A = A * weights[:, None]
+    # Nullspace via eigh of A^T A (9x9): cheaper + TPU-friendlier than SVD(A).
+    AtA = A.T @ A
+    _, V = jnp.linalg.eigh(AtA)       # ascending eigenvalues
+    e = V[:, 0]
+    E = e.reshape(3, 3)
+    # Project to the essential manifold.
+    U, _, Vt = jnp.linalg.svd(E)
+    S = jnp.array([1.0, 1.0, 0.0], dtype=E.dtype)
+    return (U * S[None, :]) @ Vt
+
+
+def _sample_minimal_sets(rng: Array, n_hyps: int, n_pts: int, valid: Array,
+                         sample_size: int = 8) -> Array:
+    """Draw [n_hyps, sample_size] indices, biased to valid correspondences.
+
+    Uses Gumbel top-k over the validity mask so padded slots are (almost)
+    never selected; fully static-shaped.
+    """
+    g = jax.random.gumbel(rng, (n_hyps, n_pts))
+    scores = g + jnp.where(valid, 0.0, -1e9)[None, :]
+    _, idx = jax.lax.top_k(scores, sample_size)
+    return idx
+
+
+
+def so3_exp(w: Array) -> Array:
+    """Rodrigues exponential map, Taylor-safe at ||w|| -> 0 (autodiff-safe:
+    no norm() of an exactly-zero vector)."""
+    th2 = jnp.sum(w * w)
+    th = jnp.sqrt(th2 + 1e-24)
+    K = skew(w)
+    A = jnp.sin(th) / th
+    B = (1.0 - jnp.cos(th)) / (th * th)
+    return jnp.eye(3, dtype=w.dtype) + A * K + B * (K @ K)
+
+
+def _tangent_basis(t: Array) -> Array:
+    """[3, 2] orthonormal basis of the plane orthogonal to unit vector t."""
+    a = jnp.where(jnp.abs(t[0]) < 0.9,
+                  jnp.array([1.0, 0.0, 0.0], t.dtype),
+                  jnp.array([0.0, 1.0, 0.0], t.dtype))
+    b1 = jnp.cross(t, a)
+    b1 = b1 / jnp.linalg.norm(b1)
+    b2 = jnp.cross(t, b1)
+    return jnp.stack([b1, b2], axis=1)
+
+
+def signed_sampson(kpts0: Array, kpts1: Array, E: Array) -> Array:
+    """First-order signed Sampson residual (sqrt of sampson_error with sign)."""
+    h0 = to_homogeneous(kpts0)
+    h1 = to_homogeneous(kpts1)
+    Ep0 = h0 @ E.T
+    Etp1 = h1 @ E
+    num = jnp.sum(h1 * Ep0, axis=-1)
+    den = jnp.sqrt(jnp.maximum(
+        Ep0[:, 0] ** 2 + Ep0[:, 1] ** 2 + Etp1[:, 0] ** 2 + Etp1[:, 1] ** 2,
+        1e-18))
+    return num / den
+
+
+def refine_pose_sampson(R: Array, t: Array, kpts0n: Array, kpts1n: Array,
+                        thresh_sq: Array, valid: Array | None = None,
+                        iters: int = 15, damping: float = 1e-10):
+    """Gauss-Newton refinement of (R, t) on the essential manifold.
+
+    Minimizes the Sampson error over the 5-DOF parameterization
+    (so3 tangent for R, 2-D tangent of the unit sphere for t), re-selecting
+    inliers at 2x threshold each iteration and only accepting steps that do
+    not reduce the 1x inlier count. This is the accuracy workhorse that
+    lifts 8-point hypotheses past OpenCV's 5-point RANSAC
+    (replaces cv2's internal refinement, evaluation.py:219-224).
+    """
+    vmask = jnp.ones(kpts0n.shape[0], bool) if valid is None else valid
+
+    def step(carry, _):
+        R, t = carry
+        E = skew(t) @ R
+        e = sampson_error(kpts0n, kpts1n, E)
+        w = ((e < 4.0 * thresh_sq) & vmask).astype(kpts0n.dtype)
+
+        def residuals(p):
+            Rn = R @ so3_exp(p[:3])
+            tn = t + _tangent_basis(t) @ p[3:]
+            tn = tn / jnp.sqrt(jnp.sum(tn * tn) + 1e-24)
+            return w * signed_sampson(kpts0n, kpts1n, skew(tn) @ Rn)
+
+        p0 = jnp.zeros(5, kpts0n.dtype)
+        J = jax.jacfwd(residuals)(p0)                 # [N, 5]
+        r = residuals(p0)
+        JTJ = J.T @ J + damping * jnp.eye(5, dtype=kpts0n.dtype)
+        delta = -jnp.linalg.solve(JTJ, J.T @ r)
+        Rn = R @ so3_exp(delta[:3])
+        tn = t + _tangent_basis(t) @ delta[3:]
+        tn = tn / jnp.linalg.norm(tn)
+        # Accept only non-degrading steps (monotone in inlier count).
+        En = skew(tn) @ Rn
+        cnt_new = jnp.sum((sampson_error(kpts0n, kpts1n, En) < thresh_sq)
+                          & vmask)
+        cnt_old = jnp.sum((e < thresh_sq) & vmask)
+        better = cnt_new >= cnt_old
+        return (jnp.where(better, Rn, R), jnp.where(better, tn, t)), None
+
+    (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
+    return R, t
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "lo_candidates"))
+def ransac_essential(kpts0n: Array, kpts1n: Array, valid: Array,
+                     threshold: float, rng: Array,
+                     num_hypotheses: int = 512, lo_candidates: int = 8):
+    """Fixed-budget parallel LO-RANSAC for the essential matrix.
+
+    Pipeline (all static shapes):
+      1. ``num_hypotheses`` 8-point minimal fits, scored against every
+         correspondence with the Sampson residual (one big batched matmul).
+      2. The ``lo_candidates`` best hypotheses are each decomposed to
+         (R, t) (cheirality vote) and refined by Gauss-Newton on the
+         essential manifold minimizing the Sampson error
+         (refine_pose_sampson) — this lifts noisy 8-point hypotheses past
+         OpenCV's 5-point RANSAC accuracy.
+      3. Best candidate by final inlier count wins.
+
+    Args:
+      kpts0n, kpts1n: [N, 2] normalized coords (padded to static N).
+      valid: [N] bool mask of real correspondences.
+      threshold: inlier threshold on the Sampson distance (normalized
+        units; callers pass px_thresh / f_mean like the reference,
+        evaluation.py:213-214; squared internally).
+      rng: PRNG key.
+
+    Returns:
+      dict with E [3,3], R [3,3], t [3], inliers [N] bool,
+      num_inliers [], score [].
+    """
+    n = kpts0n.shape[0]
+    thresh_sq = jnp.asarray(threshold, kpts0n.dtype) ** 2
+
+    idx = _sample_minimal_sets(rng, num_hypotheses, n, valid)
+    s0 = kpts0n[idx]                              # [H, 8, 2]
+    s1 = kpts1n[idx]
+    Es = jax.vmap(essential_8pt)(s0, s1)          # [H, 3, 3]
+
+    errs = jax.vmap(lambda E: sampson_error(kpts0n, kpts1n, E))(Es)  # [H, N]
+    counts = jnp.sum((errs < thresh_sq) & valid[None, :], axis=-1)
+    _, top_idx = jax.lax.top_k(counts, lo_candidates)
+    E_cands = Es[top_idx]                          # [C, 3, 3]
+    inl_cands = (errs[top_idx] < thresh_sq) & valid[None, :]
+
+    def local_optimize(E, inl0):
+        pose = recover_pose(E, kpts0n, kpts1n, inl0)
+        R, t = refine_pose_sampson(pose["R"], pose["t"], kpts0n, kpts1n,
+                                   thresh_sq, valid)
+        E_ref = skew(t) @ R
+        inl = (sampson_error(kpts0n, kpts1n, E_ref) < thresh_sq) & valid
+        return E_ref, R, t, inl, jnp.sum(inl)
+
+    E_lo, R_lo, t_lo, inl_lo, cnt_lo = jax.vmap(local_optimize)(
+        E_cands, inl_cands)
+    best = jnp.argmax(cnt_lo)
+    E_final, inl_final = E_lo[best], inl_lo[best]
+
+    return {
+        "E": E_final,
+        "R": R_lo[best],
+        "t": t_lo[best],
+        "inliers": inl_final,
+        "num_inliers": jnp.sum(inl_final),
+        "score": jnp.sum(jnp.where(inl_final, thresh_sq - jnp.minimum(
+            sampson_error(kpts0n, kpts1n, E_final), thresh_sq), 0.0)),
+    }
+
+
+def decompose_essential(E: Array) -> tuple[Array, Array]:
+    """E -> 4 candidate (R, t): (R1,t), (R1,-t), (R2,t), (R2,-t).
+
+    Standard SVD decomposition with the W matrix; dets are fixed to +1.
+    Returns (Rs [4,3,3], ts [4,3]) with unit-norm t.
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    # Ensure proper rotations.
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
+    return Rs, ts
+
+
+def _cheirality_depths(R: Array, t: Array, k0h: Array, k1h: Array):
+    """Closed-form two-view depths for rays k0h (cam0) and k1h (cam1).
+
+    From x1 ~ R x0 z0 + t:  cross(x1, R x0) z0 = -cross(x1, t).
+    Returns (z0, z1) per correspondence.
+    """
+    Rx0 = k0h @ R.T                               # [N, 3]
+    c_a = jnp.cross(k1h, Rx0)
+    c_b = jnp.cross(k1h, t[None, :])
+    denom = jnp.sum(c_a * c_a, axis=-1)
+    z0 = -jnp.sum(c_a * c_b, axis=-1) / jnp.maximum(denom, 1e-12)
+    p1 = (k0h * z0[:, None]) @ R.T + t[None, :]
+    return z0, p1[:, 2]
+
+
+def recover_pose(E: Array, kpts0n: Array, kpts1n: Array, inliers: Array):
+    """Pick the (R, t) with maximal cheirality support — cv2.recoverPose
+    semantics (reference use: evaluation.py:228-239) as one XLA program.
+
+    Returns dict with R [3,3], t [3], num_good [].
+    """
+    k0h = to_homogeneous(kpts0n)
+    k1h = to_homogeneous(kpts1n)
+    Rs, ts = decompose_essential(E)
+
+    def support(R, t):
+        z0, z1 = _cheirality_depths(R, t, k0h, k1h)
+        good = (z0 > 0) & (z1 > 0) & inliers
+        return jnp.sum(good)
+
+    counts = jax.vmap(support)(Rs, ts)
+    best = jnp.argmax(counts)
+    return {"R": Rs[best], "t": ts[best], "num_good": counts[best]}
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "lo_candidates"))
+def estimate_pose(kpts0: Array, kpts1: Array, valid: Array, K0: Array,
+                  K1: Array, rng: Array, thresh_px: float = 1.0,
+                  num_hypotheses: int = 512, lo_candidates: int = 8):
+    """End-to-end pose estimation mirroring the reference's estimate_pose
+    (dloc/evaluate/utils/evaluation.py:209-240): normalize by intrinsics,
+    threshold = thresh_px / f_mean (same duplicated-index mean of
+    [K0_fx, K1_fy, K0_fx, K1_fy], :213), RANSAC E, recoverPose.
+
+    Args:
+      kpts0, kpts1: [N, 2] pixel coordinates (padded).
+      valid: [N] bool mask.
+    Returns:
+      dict with R, t, inliers, num_inliers, ok (num_inliers >= 5).
+    """
+    f_mean = (K0[0, 0] + K1[1, 1] + K0[0, 0] + K1[1, 1]) / 4.0
+    norm_thresh = thresh_px / f_mean
+
+    c0 = jnp.stack([K0[0, 2], K0[1, 2]])
+    f0 = jnp.stack([K0[0, 0], K0[1, 1]])
+    c1 = jnp.stack([K1[0, 2], K1[1, 2]])
+    f1 = jnp.stack([K1[0, 0], K1[1, 1]])
+    k0n = (kpts0 - c0[None]) / f0[None]
+    k1n = (kpts1 - c1[None]) / f1[None]
+
+    res = ransac_essential(k0n, k1n, valid, norm_thresh, rng,
+                           num_hypotheses=num_hypotheses,
+                           lo_candidates=lo_candidates)
+    return {
+        "E": res["E"],
+        "R": res["R"],
+        "t": res["t"],
+        "inliers": res["inliers"],
+        "num_inliers": res["num_inliers"],
+        "ok": (jnp.sum(valid) >= 5) & (res["num_inliers"] >= 5),
+    }

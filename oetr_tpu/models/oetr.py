@@ -1,0 +1,212 @@
+"""OETR — Overlap Estimation TRansformer in flax.linen (TPU-native).
+
+Re-design of /root/reference/src/model.py:38-384: ResNet backbone ->
+1x1 projection -> multi-kernel PatchMerging neck (extra 2x downsample) ->
+1x1 projection -> sine positional encoding -> QueryTransformer
+(self/cross encoder + per-image single-query decoder) -> center heatmap
+soft-argmax + tlbr size regression -> co-visible boxes.
+
+Differences from the reference (all TPU-first, documented):
+  * NHWC layout end-to-end; token order equals the reference's flatten.
+  * GroupNorm backbone (no BatchNorm state; no cross-chip stat sync).
+  * Soft-argmax grid uses per-axis strides (H//hf, W//wf) — identical to
+    the reference's single `h // hf` stride for its square inputs
+    (src/model.py:176-181), correct for non-square ones.
+  * Losses live in training/losses.py (pure functions of the output dict)
+    instead of inside forward (src/model.py:255-376).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import OETRConfig
+from ..geometry.boxes import box_tlbr_to_xyxy, mesh_grid_centers
+from .resnet import ResNetEncoder
+from .transformer import QueryTransformer
+
+Array = jnp.ndarray
+NEG_INF = -1e9
+
+
+def sine_position_encoding(d_model: int, max_shape: tuple[int, int],
+                           legacy: bool = True) -> Array:
+    """2-D sine positional encoding table [H, W, C] (NHWC).
+
+    Ref: PositionEncodingSine, src/models/utils.py:174-205. ``legacy=True``
+    reproduces the reference's div_term expression verbatim —
+    ``exp(arange(0, d/2, 2) * (-log(10000)/d_model // 2))`` — whose
+    floor-division collapses the frequency spectrum (a known LoFTR-lineage
+    quirk); ``legacy=False`` uses the standard spectrum.
+    """
+    h, w = max_shape
+    pe = jnp.zeros((d_model, h, w), jnp.float32)
+    y_pos = jnp.cumsum(jnp.ones((h, w), jnp.float32), axis=0)[None]
+    x_pos = jnp.cumsum(jnp.ones((h, w), jnp.float32), axis=1)[None]
+    freq_idx = jnp.arange(0, d_model // 2, 2, dtype=jnp.float32)
+    if legacy:
+        scale = math.floor(-math.log(10000.0) / d_model / 2.0)
+    else:
+        scale = -math.log(10000.0) / (d_model // 2)
+    div_term = jnp.exp(freq_idx * scale)[:, None, None]
+    pe = pe.at[0::4].set(jnp.sin(x_pos * div_term))
+    pe = pe.at[1::4].set(jnp.cos(x_pos * div_term))
+    pe = pe.at[2::4].set(jnp.sin(y_pos * div_term))
+    pe = pe.at[3::4].set(jnp.cos(y_pos * div_term))
+    return jnp.transpose(pe, (1, 2, 0))  # [H, W, C]
+
+
+class PatchMerging(nn.Module):
+    """Multi-kernel stride-2 reduction neck (ref: src/models/backbone.py:18-67).
+
+    LayerNorm over channels, then parallel convs with kernel sizes
+    ``patch_sizes`` (stride 2, padding (ps-2)//2), channel-concatenated.
+    For d=256 and kernels (4, 8, 16): out dims (256, 128, 128) -> 512.
+    """
+    dim: int
+    patch_sizes: tuple[int, ...] = (4, 8, 16)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        outs = []
+        n = len(self.patch_sizes)
+        for i, ps in enumerate(self.patch_sizes):
+            out_dim = 2 * self.dim // (2 ** i if i == n - 1 else 2 ** (i + 1))
+            pad = (ps - 2) // 2
+            outs.append(nn.Conv(out_dim, (ps, ps), strides=(2, 2),
+                                padding=pad, dtype=self.dtype,
+                                name=f"reduction_{i}")(x))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class OETR(nn.Module):
+    """Overlap-box predictor over an image pair.
+
+    __call__ inputs: image1/image2 [B, H, W, 3] in [0,1] (NHWC), optional
+    feature-resolution validity masks [B, hf, wf] (True = valid).
+    Returns a dict with predicted boxes, centers, sizes and prob maps —
+    everything the losses and the cycle-consistency term need.
+    """
+    cfg: OETRConfig
+
+    @nn.compact
+    def __call__(self, image1: Array, image2: Array,
+                 mask1: Array | None = None, mask2: Array | None = None,
+                 deterministic: bool = True, with_cycle: bool = False):
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        d = cfg.neck.d_model
+        h1, w1 = image1.shape[1:3]
+        h2, w2 = image2.shape[1:3]
+
+        backbone = ResNetEncoder(depth=cfg.backbone.depth,
+                                 stop_layer=cfg.backbone.stop_layer,
+                                 norm=cfg.backbone.norm,
+                                 norm_input=cfg.backbone.norm_input,
+                                 dtype=dtype, name="backbone")
+        input_proj = nn.Conv(d, (1, 1), dtype=dtype, name="input_proj")
+        patch_merge = PatchMerging(d, cfg.neck.patch_sizes, dtype=dtype,
+                                   name="patchmerging")
+        input_proj2 = nn.Conv(d, (1, 1), dtype=dtype, name="input_proj2")
+
+        def extract(img):
+            f = backbone(img)
+            f = input_proj(f)
+            f = patch_merge(f)
+            return input_proj2(f)
+
+        feat1 = extract(image1)              # [B, hf1, wf1, d]
+        feat2 = extract(image2)
+        b, hf1, wf1, _ = feat1.shape
+        hf2, wf2 = feat2.shape[1:3]
+
+        pe = sine_position_encoding(d, cfg.neck.max_shape,
+                                    cfg.neck.legacy_pos_enc).astype(dtype)
+        pos1 = jnp.broadcast_to(pe[None, :hf1, :wf1], feat1.shape)
+        pos2 = jnp.broadcast_to(pe[None, :hf2, :wf2], feat2.shape)
+
+        # Flatten to tokens (row-major — same order as the reference's
+        # NCHW flatten, transformer.py:337-345).
+        t1 = feat1.reshape(b, hf1 * wf1, d)
+        t2 = feat2.reshape(b, hf2 * wf2, d)
+        p1 = pos1.reshape(b, hf1 * wf1, d)
+        p2 = pos2.reshape(b, hf2 * wf2, d)
+        m1 = mask1.reshape(b, hf1 * wf1) if mask1 is not None else None
+        m2 = mask2.reshape(b, hf2 * wf2) if mask2 is not None else None
+
+        query1 = self.param("query_embed1", nn.initializers.normal(1.0), (1, d))
+        query2 = self.param("query_embed2", nn.initializers.normal(1.0), (1, d))
+
+        transformer = QueryTransformer(
+            d_model=d, nhead=cfg.neck.nhead, num_layers=cfg.neck.num_layers,
+            num_decoder_layers=cfg.neck.num_decoder_layers,
+            attention=cfg.neck.attention, dtype=dtype, name="transformer")
+        hs1, hs2, mem1, mem2 = transformer(
+            t1, t2, query1, query2, p1, p2, m1, m2,
+            deterministic=deterministic)
+
+        heatmap_conv = nn.Sequential([
+            nn.Conv(d, (3, 3), padding=1, dtype=dtype, name="hm_conv1"),
+            nn.GroupNorm(num_groups=32, dtype=dtype, name="hm_gn"),
+            nn.relu,
+            nn.Conv(1, (1, 1), dtype=dtype, name="hm_conv2"),
+        ], name="heatmap_conv")
+
+        def center_estimation(hs, memory, hf, wf, img_h, img_w, mask):
+            """Soft-argmax box center (ref: src/model.py:145-186)."""
+            att = jnp.einsum("blc,bnc->bln", memory, hs)       # [B, N, 1]
+            hm = (memory * att).reshape(b, hf, wf, d)
+            hm = heatmap_conv(hm).reshape(b, hf * wf, 1)
+            if mask is not None:
+                hm = jnp.where(mask[..., None], hm, NEG_INF)
+            prob = nn.softmax(hm.astype(jnp.float32), axis=1)  # [B, N, 1]
+            grid = mesh_grid_centers(hf, wf, img_h / hf, img_w / wf)[None]
+            center = jnp.sum(prob * grid, axis=1)               # [B, 2]
+            return center, prob[..., 0]
+
+        center1, prob1 = center_estimation(hs1, mem1, hf1, wf1, h1, w1, m1)
+        center2, prob2 = center_estimation(hs2, mem2, hf2, wf2, h2, w2, m2)
+
+        # Size regression (ref: src/model.py:59-63, 188-191).
+        tlbr_reg = nn.Sequential([
+            nn.Dense(d, use_bias=False, dtype=dtype, name="tlbr_fc1"),
+            nn.relu,
+            nn.Dense(4, dtype=dtype, name="tlbr_fc2"),
+        ], name="tlbr_reg")
+        tlbr1 = nn.sigmoid(tlbr_reg(hs1).astype(jnp.float32))[:, 0]  # [B, 4]
+        tlbr2 = nn.sigmoid(tlbr_reg(hs2).astype(jnp.float32))[:, 0]
+
+        bbox1 = box_tlbr_to_xyxy(center1, tlbr1, max_h=h1, max_w=w1)
+        bbox2 = box_tlbr_to_xyxy(center2, tlbr2, max_h=h2, max_w=w2)
+
+        out = {
+            "pred_bbox1": bbox1, "pred_bbox2": bbox2,
+            "center1": center1, "center2": center2,
+            "tlbr1": tlbr1, "tlbr2": tlbr2,
+            "prob_map1": prob1, "prob_map2": prob2,
+        }
+        if with_cycle:
+            # Cheap cycle consistency: centers re-estimated with swapped
+            # query embeddings (ref: src/model.py:354-363).
+            c1_sw, _ = center_estimation(hs2, mem1, hf1, wf1, h1, w1, m1)
+            c2_sw, _ = center_estimation(hs1, mem2, hf2, wf2, h2, w2, m2)
+            out["cycle_center1"] = c1_sw
+            out["cycle_center2"] = c2_sw
+        return out
+
+    def predict_boxes(self, image1: Array, image2: Array,
+                      mask1: Array | None = None, mask2: Array | None = None):
+        """Inference path returning clamped xyxy boxes — forward_dummy
+        parity (ref: src/model.py:229-252)."""
+        out = self(image1, image2, mask1, mask2, deterministic=True)
+        return out["pred_bbox1"], out["pred_bbox2"]
+
+
+def build_oetr(cfg: OETRConfig | None = None) -> OETR:
+    """Model factory (ref: build_detectors, src/model.py:380-384)."""
+    return OETR(cfg or OETRConfig())

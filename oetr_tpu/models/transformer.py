@@ -1,0 +1,193 @@
+"""OETR query transformer in flax.linen.
+
+Re-designs /root/reference/src/models/transformer.py for TPU: same
+topology — num_layers x (self + cross) pre-norm encoder over both images'
+token streams, then a 2-layer query decoder per image with a single
+learned query — but expressed as linen modules over [B, N, C] token
+tensors with boolean validity masks, using the masked attention ops in
+oetr_tpu.ops.attention (fused by XLA / replaceable by Pallas kernels).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attention import full_attention, linear_attention
+
+Array = jnp.ndarray
+
+
+def _attend(kind: str, q, k, v, q_mask, kv_mask):
+    if kind == "linear":
+        return linear_attention(q, k, v, q_mask, kv_mask)
+    if kind == "full":
+        return full_attention(q, k, v, q_mask, kv_mask)
+    raise ValueError(f"unknown attention {kind!r}")
+
+
+class EncoderLayer(nn.Module):
+    """Pre-norm encoder layer (ref: transformer.py:75-142).
+
+    Positional encodings are added to q, k *and* v after the pre-norms,
+    exactly like the reference (transformer.py:123-126).
+    """
+    d_model: int
+    nhead: int
+    attention: str = "linear"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, source: Array,
+                 x_mask: Array | None = None,
+                 source_mask: Array | None = None,
+                 x_pos: Array | None = None,
+                 s_pos: Array | None = None) -> Array:
+        b, n, _ = x.shape
+        head_dim = self.d_model // self.nhead
+        query = nn.LayerNorm(dtype=self.dtype, name="pre_norm_q")(x)
+        kv = nn.LayerNorm(dtype=self.dtype, name="pre_norm_kv")(source)
+        key = value = kv
+        if x_pos is not None:
+            query = query + x_pos
+            key = key + s_pos
+            value = value + s_pos
+
+        dense = lambda name: nn.Dense(self.d_model, use_bias=False,
+                                      dtype=self.dtype, name=name)
+        q = dense("q_proj")(query).reshape(b, n, self.nhead, head_dim)
+        k = dense("k_proj")(key).reshape(b, -1, self.nhead, head_dim)
+        v = dense("v_proj")(value).reshape(b, -1, self.nhead, head_dim)
+        message = _attend(self.attention, q, k, v, x_mask, source_mask)
+        message = dense("merge")(message.reshape(b, n, self.d_model))
+
+        x = x + message
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(self.d_model * 2, use_bias=False, dtype=self.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype)(y)
+        return x + y
+
+
+class MultiHeadAttention(nn.Module):
+    """Biased-projection MHA used inside decoder layers (ref: transformer.py:23-72)."""
+    d_model: int
+    nhead: int
+    attention: str = "linear"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q: Array, k: Array, v: Array,
+                 q_mask: Array | None = None,
+                 kv_mask: Array | None = None) -> Array:
+        b, n, _ = q.shape
+        head_dim = self.d_model // self.nhead
+        qh = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(q)
+        kh = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(k)
+        vh = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(v)
+        qh = qh.reshape(b, n, self.nhead, head_dim)
+        kh = kh.reshape(b, -1, self.nhead, head_dim)
+        vh = vh.reshape(b, -1, self.nhead, head_dim)
+        out = _attend(self.attention, qh, kh, vh, q_mask, kv_mask)
+        return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                        name="merge")(out.reshape(b, n, self.d_model))
+
+
+class DecoderLayer(nn.Module):
+    """Query decoder layer: self-attn + cross-attn + ReLU MLP
+    (ref: transformer.py:189-255, dropout 0.1)."""
+    d_model: int
+    nhead: int
+    dropout: float = 0.1
+    attention: str = "linear"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt: Array, memory: Array,
+                 memory_mask: Array | None = None,
+                 tgt_pos: Array | None = None,
+                 m_pos: Array | None = None,
+                 deterministic: bool = True) -> Array:
+        drop = lambda z: nn.Dropout(self.dropout, deterministic=deterministic)(z)
+
+        tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        qk = tgt2 if tgt_pos is None else tgt2 + tgt_pos
+        tgt2 = MultiHeadAttention(self.d_model, self.nhead, self.attention,
+                                  self.dtype, name="self_attn")(qk, qk, tgt2)
+        tgt = tgt + drop(tgt2)
+
+        tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+        q = tgt2 if tgt_pos is None else tgt2 + tgt_pos
+        k = memory if m_pos is None else memory + m_pos
+        tgt2 = MultiHeadAttention(self.d_model, self.nhead, self.attention,
+                                  self.dtype, name="cross_attn")(
+            q, k, memory, kv_mask=memory_mask)
+        tgt = tgt + drop(tgt2)
+
+        tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        tgt2 = nn.Dense(self.d_model * 2, use_bias=False, dtype=self.dtype)(tgt2)
+        tgt2 = nn.relu(tgt2)
+        tgt2 = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype)(tgt2)
+        return tgt + tgt2
+
+
+class QueryTransformer(nn.Module):
+    """Joint encoder over both images + per-image query decoder.
+
+    Ref: transformer.py:287-383. Inputs are token tensors [B, N, C]
+    (callers flatten NHWC feature maps; token order equals the reference's
+    NCHW flatten order) plus per-token validity masks.
+
+    Returns (hs0, hs1, memory0, memory1): query embeddings [B, 1, C] and
+    contextualized features [B, N, C].
+    """
+    d_model: int = 256
+    nhead: int = 8
+    num_layers: int = 4
+    num_decoder_layers: int = 2
+    attention: str = "linear"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat0: Array, feat1: Array, query_embed0: Array,
+                 query_embed1: Array, pos0: Array, pos1: Array,
+                 mask0: Array | None = None, mask1: Array | None = None,
+                 deterministic: bool = True):
+        b = feat0.shape[0]
+        q0 = jnp.broadcast_to(query_embed0[None], (b, *query_embed0.shape))
+        q0 = q0.astype(self.dtype)
+        q1 = jnp.broadcast_to(query_embed1[None], (b, *query_embed1.shape))
+        q1 = q1.astype(self.dtype)
+
+        # Alternating self/cross encoder (ref: transformer.py:349-358).
+        for i in range(self.num_layers):
+            self_layer = EncoderLayer(self.d_model, self.nhead, self.attention,
+                                      self.dtype, name=f"enc_self_{i}")
+            cross_layer = EncoderLayer(self.d_model, self.nhead, self.attention,
+                                       self.dtype, name=f"enc_cross_{i}")
+            feat0 = self_layer(feat0, feat0, mask0, mask0, pos0, pos0)
+            feat1 = self_layer(feat1, feat1, mask1, mask1, pos1, pos1)
+            src0, src1 = feat1, feat0
+            feat0 = cross_layer(feat0, src0, mask0, mask1, pos0, pos1)
+            feat1 = cross_layer(feat1, src1, mask1, mask0, pos1, pos0)
+
+        # Query decoders share weights across the two images (the reference
+        # calls the same self.decoder for both streams, transformer.py:363-381).
+        decoder_layers = [
+            DecoderLayer(self.d_model, self.nhead, attention=self.attention,
+                         dtype=self.dtype, name=f"dec_{i}")
+            for i in range(self.num_decoder_layers)
+        ]
+
+        def run_decoder(tgt_pos, memory, memory_mask, m_pos):
+            tgt = jnp.zeros_like(tgt_pos)
+            for layer in decoder_layers:
+                tgt = layer(tgt, memory, memory_mask=memory_mask,
+                            tgt_pos=tgt_pos, m_pos=m_pos,
+                            deterministic=deterministic)
+            return tgt
+
+        hs0 = run_decoder(q0, feat0, mask0, pos0)
+        hs1 = run_decoder(q1, feat1, mask1, pos1)
+        return hs0, hs1, feat0, feat1

@@ -1,0 +1,4 @@
+"""Parallelism layer: mesh construction, shardings, collectives."""
+from .mesh import data_sharding, make_mesh, replicated, shard_batch
+
+__all__ = ["data_sharding", "make_mesh", "replicated", "shard_batch"]

@@ -1,0 +1,101 @@
+"""Batched RANSAC pose vs ground truth and vs OpenCV (the reference's engine,
+dloc/evaluate/utils/evaluation.py:209-240)."""
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oetr_tpu.geometry import estimate_pose, pose_error
+
+
+def _two_view_problem(rng, n=200, outlier_frac=0.3, noise_px=0.5):
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_euler("xyz", rng.uniform(-15, 15, 3), degrees=True).as_matrix()
+    t = rng.normal(size=3)
+    t = t / np.linalg.norm(t)
+    pts = rng.uniform(-3, 3, (n, 3)) + np.array([0, 0, 8.0])
+    uv0 = (pts / pts[:, 2:]) @ K.T
+    p1 = pts @ R.T + t
+    uv1 = (p1 / p1[:, 2:]) @ K.T
+    uv0 = uv0[:, :2] + rng.normal(0, noise_px, (n, 2))
+    uv1 = uv1[:, :2] + rng.normal(0, noise_px, (n, 2))
+    n_out = int(n * outlier_frac)
+    out_idx = rng.choice(n, n_out, replace=False)
+    uv1[out_idx] = rng.uniform(0, 640, (n_out, 2))
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return uv0, uv1, K, T, out_idx
+
+
+def test_estimate_pose_recovers_gt(rng):
+    uv0, uv1, K, T, _ = _two_view_problem(rng)
+    valid = np.ones(len(uv0), bool)
+    res = estimate_pose(jnp.asarray(uv0), jnp.asarray(uv1), jnp.asarray(valid),
+                        jnp.asarray(K), jnp.asarray(K), jax.random.key(0),
+                        thresh_px=1.0)
+    assert bool(res["ok"])
+    err_t, err_R = pose_error(jnp.asarray(T), res["R"], res["t"])
+    assert float(err_R) < 2.0, float(err_R)
+    assert float(err_t) < 5.0, float(err_t)
+
+
+def test_estimate_pose_with_padding(rng):
+    uv0, uv1, K, T, _ = _two_view_problem(rng, n=150, outlier_frac=0.2)
+    pad = 106
+    uv0p = np.concatenate([uv0, np.zeros((pad, 2))])
+    uv1p = np.concatenate([uv1, np.zeros((pad, 2))])
+    valid = np.concatenate([np.ones(len(uv0), bool), np.zeros(pad, bool)])
+    res = estimate_pose(jnp.asarray(uv0p), jnp.asarray(uv1p),
+                        jnp.asarray(valid), jnp.asarray(K), jnp.asarray(K),
+                        jax.random.key(1), thresh_px=1.0)
+    # Padded slots must never be counted as inliers.
+    assert not np.any(np.asarray(res["inliers"])[len(uv0):])
+    err_t, err_R = pose_error(jnp.asarray(T), res["R"], res["t"])
+    assert float(err_R) < 2.0
+    assert float(err_t) < 5.0
+
+
+def test_matches_opencv_quality(rng):
+    """Our fixed-budget RANSAC should be in the same accuracy class as the
+    OpenCV 5-point RANSAC the reference uses."""
+    errs_ours, errs_cv = [], []
+    for trial in range(5):
+        uv0, uv1, K, T, _ = _two_view_problem(rng, n=300, outlier_frac=0.35)
+        valid = np.ones(len(uv0), bool)
+        res = estimate_pose(jnp.asarray(uv0), jnp.asarray(uv1),
+                            jnp.asarray(valid), jnp.asarray(K), jnp.asarray(K),
+                            jax.random.key(trial), thresh_px=1.0)
+        et, eR = pose_error(jnp.asarray(T), res["R"], res["t"])
+        errs_ours.append(max(float(et), float(eR)))
+
+        f_mean = np.mean([K[0, 0], K[1, 1], K[0, 0], K[1, 1]])
+        k0n = (uv0 - K[[0, 1], [2, 2]][None]) / K[[0, 1], [0, 1]][None]
+        k1n = (uv1 - K[[0, 1], [2, 2]][None]) / K[[0, 1], [0, 1]][None]
+        E, mask = cv2.findEssentialMat(k0n, k1n, np.eye(3),
+                                       threshold=1.0 / f_mean, prob=0.99999,
+                                       method=cv2.RANSAC)
+        best = None
+        for _E in np.split(E, len(E) / 3):
+            n, R, t, _ = cv2.recoverPose(_E, k0n, k1n, np.eye(3), 1e9,
+                                         mask=mask.copy())
+            if best is None or n > best[0]:
+                best = (n, R, t[:, 0])
+        et, eR = pose_error(jnp.asarray(T), jnp.asarray(best[1]),
+                            jnp.asarray(best[2]))
+        errs_cv.append(max(float(et), float(eR)))
+
+    # Average error within 2 degrees of OpenCV (usually better).
+    assert np.mean(errs_ours) < np.mean(errs_cv) + 2.0, (errs_ours, errs_cv)
+
+
+def test_degenerate_too_few_points():
+    uv = np.zeros((16, 2))
+    valid = np.zeros(16, bool)
+    valid[:3] = True  # < 5 valid
+    K = np.eye(3) * 100.0
+    K[2, 2] = 1
+    res = estimate_pose(jnp.asarray(uv), jnp.asarray(uv), jnp.asarray(valid),
+                        jnp.asarray(K), jnp.asarray(K), jax.random.key(0))
+    assert not bool(res["ok"])

@@ -1,0 +1,146 @@
+"""SuperGlue graph-matching network in flax.linen (from scratch).
+
+The reference ships only a wrapper around an empty submodule
+(/root/reference/dloc/core/matchers/superglue.py:21-64; conf surface:
+weights variant, descriptor_dim, keypoint_encoder, sinkhorn_iterations,
+match_threshold — dloc/core/match_features.py:24-56). The network is
+implemented here from its published architecture (Sarlin et al.,
+"SuperGlue: Learning Feature Matching with Graph Neural Networks"):
+
+  keypoint MLP encoder over (x, y, score) added to descriptors ->
+  L rounds of alternating self/cross multi-head attention with
+  message-MLP residuals -> final projection -> partial optimal transport
+  (log-domain Sinkhorn with dustbins, ops/sinkhorn.py) -> mutual-argmax
+  match extraction with confidence threshold.
+
+Masked end-to-end: padded keypoints carry no attention weight and no
+transport mass (static shapes for TPU).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attention import full_attention
+from ..ops.sinkhorn import extract_matches, log_optimal_transport
+
+Array = jnp.ndarray
+
+
+def normalize_keypoints_for_encoder(kpts: Array, image_hw: tuple[int, int]) -> Array:
+    """Center + scale keypoints by image size (SuperGlue convention:
+    center at image midpoint, scale by 0.7 * max side)."""
+    h, w = image_hw
+    center = jnp.array([w / 2.0, h / 2.0], kpts.dtype)
+    scale = 0.7 * max(h, w)
+    return (kpts - center) / scale
+
+
+class KeypointEncoder(nn.Module):
+    """MLP over (x, y, score) -> descriptor_dim embedding."""
+    layers: Sequence[int]
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, kpts_norm: Array, scores: Array) -> Array:
+        x = jnp.concatenate([kpts_norm, scores[..., None]], axis=-1)
+        x = x.astype(self.dtype)
+        for i, c in enumerate(self.layers):
+            x = nn.Dense(c, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="out")(x)
+
+
+class AttentionalPropagation(nn.Module):
+    """One GNN message-passing round: MHA + concat-MLP residual."""
+    d_model: int
+    nhead: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, source: Array,
+                 x_mask: Array | None, source_mask: Array | None) -> Array:
+        b, m, _ = x.shape
+        hd = self.d_model // self.nhead
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="k")(source)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="v")(source)
+        msg = full_attention(q.reshape(b, m, self.nhead, hd),
+                             k.reshape(b, -1, self.nhead, hd),
+                             v.reshape(b, -1, self.nhead, hd),
+                             x_mask, source_mask).reshape(b, m, self.d_model)
+        msg = nn.Dense(self.d_model, dtype=self.dtype, name="merge")(msg)
+        y = jnp.concatenate([x, msg], axis=-1)
+        y = nn.Dense(2 * self.d_model, dtype=self.dtype, name="mlp1")(y)
+        y = nn.LayerNorm(dtype=self.dtype, name="mlp_ln")(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="mlp2")(y)
+        return x + y
+
+
+class SuperGlue(nn.Module):
+    """Match two keypoint sets with descriptors.
+
+    Defaults mirror the reference's outdoor conf
+    (match_features.py:24-31): 30 Sinkhorn iterations, threshold 0.2.
+    """
+    descriptor_dim: int = 256
+    keypoint_encoder_layers: tuple[int, ...] = (32, 64, 128, 256)
+    gnn_layers: int = 9                 # self+cross pairs
+    nhead: int = 4
+    sinkhorn_iterations: int = 30
+    match_threshold: float = 0.2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, data: dict) -> dict:
+        """data keys: keypoints0/1 [B,K,2], scores0/1 [B,K],
+        descriptors0/1 [B,K,D], valid0/1 [B,K] bool,
+        image_hw0/image_hw1 static (H, W) tuples.
+
+        Returns: matches0/1, matching_scores0/1, log_assignment.
+        """
+        d = self.descriptor_dim
+        kenc = KeypointEncoder(self.keypoint_encoder_layers, d, self.dtype,
+                               name="kenc")
+        kn0 = normalize_keypoints_for_encoder(data["keypoints0"],
+                                              data["image_hw0"])
+        kn1 = normalize_keypoints_for_encoder(data["keypoints1"],
+                                              data["image_hw1"])
+        desc0 = data["descriptors0"].astype(self.dtype) + kenc(kn0, data["scores0"])
+        desc1 = data["descriptors1"].astype(self.dtype) + kenc(kn1, data["scores1"])
+        m0 = data.get("valid0")
+        m1 = data.get("valid1")
+
+        for i in range(self.gnn_layers):
+            self_layer = AttentionalPropagation(d, self.nhead, self.dtype,
+                                                name=f"self_{i}")
+            cross_layer = AttentionalPropagation(d, self.nhead, self.dtype,
+                                                 name=f"cross_{i}")
+            desc0 = self_layer(desc0, desc0, m0, m0)
+            desc1 = self_layer(desc1, desc1, m1, m1)
+            src0, src1 = desc1, desc0
+            desc0 = cross_layer(desc0, src0, m0, m1)
+            desc1 = cross_layer(desc1, src1, m1, m0)
+
+        final_proj = nn.Dense(d, dtype=self.dtype, name="final_proj")
+        mdesc0 = final_proj(desc0)   # shared projection for both sets
+        mdesc1 = final_proj(desc1)
+
+        scores = jnp.einsum("bmd,bnd->bmn", mdesc0, mdesc1).astype(jnp.float32)
+        scores = scores / (d ** 0.25)
+
+        bin_score = self.param("bin_score", nn.initializers.ones, ())
+        log_a = log_optimal_transport(scores, bin_score,
+                                      self.sinkhorn_iterations, m0, m1)
+        matches0, matches1, ms0, ms1 = extract_matches(
+            log_a, self.match_threshold, m0, m1)
+        return {
+            "matches0": matches0, "matches1": matches1,
+            "matching_scores0": ms0, "matching_scores1": ms1,
+            "log_assignment": log_a,
+        }

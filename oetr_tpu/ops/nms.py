@@ -1,0 +1,108 @@
+"""Keypoint ops: spatial NMS, static top-k selection, descriptor sampling.
+
+TPU-first replacements for the dynamic-shape keypoint logic the reference
+delegates to third-party extractors (empty submodules; wrapper conf
+surface at /root/reference/dloc/core/extract_features.py:22-128): score
+maps stay dense [B, H, W], selection is a fixed-k top-k with a validity
+mask — no boolean indexing anywhere (SURVEY.md §7 "hard parts").
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _maxpool2d(x: Array, radius: int) -> Array:
+    """Max pool with window (2r+1) stride 1, SAME padding. x: [B, H, W]."""
+    k = 2 * radius + 1
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, k), (1, 1, 1), "SAME")
+
+
+def simple_nms(scores: Array, radius: int, iterations: int = 2) -> Array:
+    """Iterative spatial non-maximum suppression on dense score maps.
+
+    Semantics of the standard SuperPoint NMS (suppress everything within
+    ``radius`` of a stronger detection, run twice so second-pass maxima in
+    suppressed zones survive). scores: [B, H, W] -> same shape, zeroed at
+    suppressed positions.
+    """
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == _maxpool2d(scores, radius)
+    for _ in range(iterations):
+        supp_mask = _maxpool2d(max_mask.astype(scores.dtype), radius) > 0
+        supp_scores = jnp.where(supp_mask, zeros, scores)
+        new_max = supp_scores == _maxpool2d(supp_scores, radius)
+        max_mask = max_mask | (new_max & (~supp_mask))
+    return jnp.where(max_mask, scores, zeros)
+
+
+def remove_borders(scores: Array, border: int) -> Array:
+    """Zero a ``border``-pixel frame (SuperPoint's border removal)."""
+    b, h, w = scores.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    keep = ((ys >= border) & (ys < h - border)
+            & (xs >= border) & (xs < w - border))
+    return jnp.where(keep[None], scores, 0.0)
+
+
+def topk_keypoints(scores: Array, k: int, threshold: float = 0.0):
+    """Static top-k keypoints from a dense score map.
+
+    Args:
+      scores: [B, H, W] (post-NMS).
+      k: fixed keypoint budget.
+      threshold: minimum score (below -> marked invalid).
+    Returns:
+      xy [B, k, 2] float (x, y) pixel coords, score [B, k], valid [B, k].
+    """
+    b, h, w = scores.shape
+    flat = scores.reshape(b, h * w)
+    vals, idx = jax.lax.top_k(flat, k)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    xy = jnp.stack([xs, ys], axis=-1)
+    valid = vals > threshold
+    return xy, vals, valid
+
+
+def bilinear_sample(grid: Array, xy: Array) -> Array:
+    """Bilinear interpolation of [H, W, C] features at [N, 2] (x, y) coords.
+
+    Coordinates are in pixel units of ``grid``; out-of-range clamps.
+    Returns [N, C].
+    """
+    h, w, _ = grid.shape
+    x = jnp.clip(xy[:, 0], 0.0, w - 1.0)
+    y = jnp.clip(xy[:, 1], 0.0, h - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wx = (x - x0).astype(grid.dtype)[:, None]
+    wy = (y - y0).astype(grid.dtype)[:, None]
+    v00 = grid[y0, x0]
+    v01 = grid[y0, x1]
+    v10 = grid[y1, x0]
+    v11 = grid[y1, x1]
+    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+            + wy * ((1 - wx) * v10 + wx * v11))
+
+
+def sample_descriptors(desc_map: Array, xy: Array, stride: int = 8) -> Array:
+    """Sample L2-normalized descriptors at keypoint locations.
+
+    Args:
+      desc_map: [B, Hc, Wc, D] coarse descriptor map (stride ``stride``).
+      xy: [B, K, 2] keypoint (x, y) in full-resolution pixels.
+    Returns:
+      [B, K, D] unit-norm descriptors.
+    """
+    # Map full-res pixel centers to descriptor-grid coordinates.
+    coords = (xy - stride / 2 + 0.5) / stride
+    out = jax.vmap(bilinear_sample)(desc_map, coords)
+    return out / jnp.maximum(
+        jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)

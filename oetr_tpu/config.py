@@ -25,7 +25,9 @@ class BackboneConfig:
 class NeckConfig:
     """Ref: src/config/default.py:20-28."""
     d_model: int = 256              # last_layer // 4 (src/model.py:44)
-    attention: str = "linear"       # 'linear' | 'full' (default.py:24)
+    attention: str = "linear"       # 'linear' | 'full' (default.py:24);
+                                    # append ':pallas' for the fused TPU
+                                    # kernels (ops/pallas_attention.py)
     max_shape: tuple[int, int] = (100, 100)  # positional-encoding grid cap
     patch_sizes: tuple[int, ...] = (4, 8, 16)  # PatchMerging kernels (model.py:51-56)
     nhead: int = 8

@@ -19,7 +19,19 @@ from ..ops.attention import full_attention, linear_attention
 Array = jnp.ndarray
 
 
-def _attend(kind: str, q, k, v, q_mask, kv_mask):
+def _attend(kind: str, q, k, v, q_mask, kv_mask, use_pallas: bool = False):
+    """Dispatch to the XLA reference ops or the fused Pallas TPU kernels
+    (ops/pallas_attention.py). ``kind``: 'linear' | 'full'; append
+    ':pallas' (or pass use_pallas=True) for the fused path."""
+    if kind.endswith(":pallas"):
+        kind = kind.split(":")[0]
+        use_pallas = True
+    if use_pallas:
+        from ..ops.pallas_attention import (full_attention_pallas,
+                                            linear_attention_pallas)
+        fn = (linear_attention_pallas if kind == "linear"
+              else full_attention_pallas)
+        return fn(q, k, v, q_mask, kv_mask)
     if kind == "linear":
         return linear_attention(q, k, v, q_mask, kv_mask)
     if kind == "full":

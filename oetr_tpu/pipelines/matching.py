@@ -1,0 +1,268 @@
+"""Overlap-guided matching pipeline — batched, static-shape, on-device.
+
+Functional re-think of the reference's serial per-pair driver
+(/root/reference/evaluation.py:57-224 + dloc/core/overlap_features.py:
+49-244): OETR predicts the co-visible boxes on 640^2 copies, the boxes
+are rescaled to the full-resolution frame, both overlap regions are
+crop-resized *on device* onto a fixed canvas (one bilinear gather — no
+GPU->CPU cv2 round-trip), features are extracted and matched on the
+crops, and keypoints are un-warped to the original frame
+(`kpts / ratio + box[:2]`, overlap_features.py:123-127).
+
+Reference fallback rules carried over (evaluation.py:100-103,142-178;
+overlap_features.py:215-244):
+  * degenerate box (any side < min_box_size) -> full image;
+  * optional overlap-scale gate (pragueparks rule) -> full image;
+  * < fallback_min_matches matches -> host triggers a full-image re-run
+    (second batched call) and keeps the better result per pair.
+
+Everything is batched over pairs: one jit compile per (canvas, K) bucket,
+vmap/shard-ready along the batch axis.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.warp import crop_resize_batch, unwarp_keypoints
+from ..models.superpoint import grayscale
+
+Array = jnp.ndarray
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    oetr_hw: tuple[int, int] = (640, 640)       # OETR pass size (scripts/evaluate_megadepth.sh:14)
+    canvas_hw: tuple[int, int] = (832, 832)     # crop canvas for extract/match
+    min_box_size: float = 1.0                   # degenerate-box gate (evaluation.py:100)
+    scale_gate: float = 0.0                     # >0: require overlap score > gate
+    fallback_min_matches: int = 30              # overlap_features.py:219
+
+
+def overlap_scale_score(bbox0: Array, bbox1: Array) -> Array:
+    """floor-divide box-size ratio score (ref: evaluation.py:88-98)."""
+    bw0 = jnp.floor(bbox0[..., 2]) - jnp.floor(bbox0[..., 0])
+    bh0 = jnp.floor(bbox0[..., 3]) - jnp.floor(bbox0[..., 1])
+    bw1 = jnp.floor(bbox1[..., 2]) - jnp.floor(bbox1[..., 0])
+    bh1 = jnp.floor(bbox1[..., 3]) - jnp.floor(bbox1[..., 1])
+    return jnp.maximum(
+        jnp.maximum(bw0 // jnp.maximum(bw1, 1), bh0 // jnp.maximum(bh1, 1)),
+        jnp.maximum(bw1 // jnp.maximum(bw0, 1), bh1 // jnp.maximum(bh0, 1)))
+
+
+def gate_boxes(bbox0: Array, bbox1: Array, full_hw0: Array, full_hw1: Array,
+               cfg: PipelineConfig):
+    """Apply degenerate-box and scale gates; fallback to full-image boxes.
+
+    full_hw*: [B, 2] (h, w) valid extents of each full-res image.
+    Returns gated (bbox0, bbox1, used_overlap [B] bool).
+    """
+    sides = jnp.stack([
+        bbox0[:, 2] - bbox0[:, 0], bbox0[:, 3] - bbox0[:, 1],
+        bbox1[:, 2] - bbox1[:, 0], bbox1[:, 3] - bbox1[:, 1],
+    ], axis=-1)
+    ok = jnp.min(sides, axis=-1) > cfg.min_box_size
+    if cfg.scale_gate > 0:
+        ok = ok & (overlap_scale_score(bbox0, bbox1) > cfg.scale_gate)
+
+    def full_box(hw):
+        return jnp.stack([jnp.zeros_like(hw[:, 1]), jnp.zeros_like(hw[:, 0]),
+                          hw[:, 1], hw[:, 0]], axis=-1)
+
+    fb0 = full_box(full_hw0.astype(bbox0.dtype))
+    fb1 = full_box(full_hw1.astype(bbox1.dtype))
+    bbox0 = jnp.where(ok[:, None], bbox0, fb0)
+    bbox1 = jnp.where(ok[:, None], bbox1, fb1)
+    return bbox0, bbox1, ok
+
+
+class SparsePipeline:
+    """OETR -> crop -> SuperPoint -> matcher (SuperGlue / NN).
+
+    Holds flax modules + trained params; ``__call__`` is jit-compiled per
+    input bucket. All models are optional: without ``oetr`` the pipeline
+    degenerates to plain full-image matching (the reference's
+    ``with_overlap=False`` path, evaluation.py:180-224).
+    """
+
+    def __init__(self, extractor, extractor_params, match_fn: Callable,
+                 oetr=None, oetr_params=None,
+                 cfg: PipelineConfig = PipelineConfig()):
+        self.extractor = extractor
+        self.extractor_params = extractor_params
+        self.match_fn = match_fn        # (data dict) -> matches dict
+        self.oetr = oetr
+        self.oetr_params = oetr_params
+        self.cfg = cfg
+        self._jit_overlap = jax.jit(partial(self._run, use_overlap=True))
+        self._jit_plain = jax.jit(partial(self._run, use_overlap=False))
+
+    def predict_boxes(self, oetr_img0, oetr_img1, scales0, scales1):
+        """640^2 OETR pass -> full-res-frame boxes (evaluation.py:77-86)."""
+        out = self.oetr.apply(self.oetr_params, oetr_img0, oetr_img1,
+                              deterministic=True)
+        s0 = jnp.concatenate([scales0, scales0], axis=-1)   # [B, 4]
+        s1 = jnp.concatenate([scales1, scales1], axis=-1)
+        return out["pred_bbox1"] * s0, out["pred_bbox2"] * s1
+
+    def _extract_and_match(self, crop0, crop1, hw):
+        e0 = self.extractor.apply(self.extractor_params, grayscale(crop0))
+        e1 = self.extractor.apply(self.extractor_params, grayscale(crop1))
+        data = {
+            "keypoints0": e0["keypoints"], "keypoints1": e1["keypoints"],
+            "scores0": e0["scores"], "scores1": e1["scores"],
+            "descriptors0": e0["descriptors"], "descriptors1": e1["descriptors"],
+            "valid0": e0["valid"], "valid1": e1["valid"],
+            "image_hw0": hw, "image_hw1": hw,
+        }
+        m = self.match_fn(data)
+        return e0, e1, m
+
+    def _run(self, image0, image1, full_hw0, full_hw1, oetr_img0, oetr_img1,
+             scales0, scales1, use_overlap: bool):
+        b = image0.shape[0]
+        if use_overlap and self.oetr is not None:
+            bbox0, bbox1 = self.predict_boxes(oetr_img0, oetr_img1,
+                                              scales0, scales1)
+            bbox0, bbox1, used = gate_boxes(bbox0, bbox1, full_hw0, full_hw1,
+                                            self.cfg)
+        else:
+            bbox0 = jnp.stack([jnp.zeros((b,)), jnp.zeros((b,)),
+                               full_hw0[:, 1].astype(jnp.float32),
+                               full_hw0[:, 0].astype(jnp.float32)], axis=-1)
+            bbox1 = jnp.stack([jnp.zeros((b,)), jnp.zeros((b,)),
+                               full_hw1[:, 1].astype(jnp.float32),
+                               full_hw1[:, 0].astype(jnp.float32)], axis=-1)
+            used = jnp.zeros((b,), bool)
+
+        crop0, ratio0, _ = crop_resize_batch(image0, bbox0, self.cfg.canvas_hw)
+        crop1, ratio1, _ = crop_resize_batch(image1, bbox1, self.cfg.canvas_hw)
+        e0, e1, m = self._extract_and_match(crop0, crop1, self.cfg.canvas_hw)
+
+        kpts0 = unwarp_keypoints(e0["keypoints"], bbox0, ratio0)
+        kpts1 = unwarp_keypoints(e1["keypoints"], bbox1, ratio1)
+        matches0 = m["matches0"]
+        n_matches = jnp.sum((matches0 > -1) & e0["valid"], axis=-1)
+        return {
+            "keypoints0": kpts0, "keypoints1": kpts1,
+            "valid0": e0["valid"], "valid1": e1["valid"],
+            "scores0": e0["scores"], "scores1": e1["scores"],
+            "descriptors0": e0["descriptors"], "descriptors1": e1["descriptors"],
+            "matches0": matches0,
+            "matching_scores0": m.get("matching_scores0"),
+            "bbox0": bbox0, "bbox1": bbox1,
+            "ratio0": ratio0, "ratio1": ratio1,
+            "used_overlap": used,
+            "num_matches": n_matches,
+        }
+
+    def __call__(self, image0, image1, full_hw0, full_hw1,
+                 oetr_img0=None, oetr_img1=None, scales0=None, scales1=None,
+                 with_overlap: bool = True):
+        """Match a batch of pairs.
+
+        Args:
+          image0/1: [B, H, W, 3] full-res canvases in [0, 1].
+          full_hw0/1: [B, 2] valid (h, w) per pair.
+          oetr_img0/1: [B, h, w, 3] OETR-pass copies; scales0/1 [B, 2]
+            (full px per oetr px, (sx, sy)).
+        """
+        use_ov = with_overlap and self.oetr is not None and oetr_img0 is not None
+        if not use_ov:
+            z = jnp.zeros((image0.shape[0], 1, 1, 3), jnp.float32)
+            s = jnp.ones((image0.shape[0], 2), jnp.float32)
+            return self._jit_plain(image0, image1, full_hw0, full_hw1,
+                                   z, z, s, s)
+        out = self._jit_overlap(image0, image1, full_hw0, full_hw1,
+                                oetr_img0, oetr_img1, scales0, scales1)
+
+        # Fallback rule 2: too few matches -> full-image re-run for the
+        # failing pairs (host-side decision, ref: overlap_features.py:215-244).
+        n = np.asarray(out["num_matches"])
+        need_retry = (n < self.cfg.fallback_min_matches) & np.asarray(
+            out["used_overlap"])
+        if need_retry.any():
+            z = jnp.zeros((image0.shape[0], 1, 1, 3), jnp.float32)
+            s = jnp.ones((image0.shape[0], 2), jnp.float32)
+            plain = self._jit_plain(image0, image1, full_hw0, full_hw1,
+                                    z, z, s, s)
+            sel = jnp.asarray(need_retry)
+
+            def pick(a, b):
+                if a is None:
+                    return None
+                extra = (1,) * (a.ndim - 1)
+                return jnp.where(sel.reshape(-1, *extra), b, a)
+
+            out = jax.tree.map(pick, out, plain)
+            out["used_overlap"] = out["used_overlap"] & (~sel)
+        return out
+
+
+class DensePipeline:
+    """OETR -> crop -> LoFTR (dense detector-free matching).
+
+    Mirrors the reference's 'direct' matcher path (evaluation.py:63-64,
+    127-131) with the loftr size_divisor=8 rule absorbed by the fixed
+    canvas.
+    """
+
+    def __init__(self, loftr, loftr_params, oetr=None, oetr_params=None,
+                 cfg: PipelineConfig = PipelineConfig(canvas_hw=(832, 832))):
+        self.loftr = loftr
+        self.loftr_params = loftr_params
+        self.oetr = oetr
+        self.oetr_params = oetr_params
+        self.cfg = cfg
+        self.sparse_helper = SparsePipeline.__dict__["predict_boxes"]
+        self._jit_run = jax.jit(partial(self._run, use_overlap=True))
+        self._jit_plain = jax.jit(partial(self._run, use_overlap=False))
+
+    def _run(self, image0, image1, full_hw0, full_hw1, oetr_img0, oetr_img1,
+             scales0, scales1, use_overlap: bool):
+        b = image0.shape[0]
+        if use_overlap and self.oetr is not None:
+            out = self.oetr.apply(self.oetr_params, oetr_img0, oetr_img1,
+                                  deterministic=True)
+            s0 = jnp.concatenate([scales0, scales0], axis=-1)
+            s1 = jnp.concatenate([scales1, scales1], axis=-1)
+            bbox0, bbox1, used = gate_boxes(out["pred_bbox1"] * s0,
+                                            out["pred_bbox2"] * s1,
+                                            full_hw0, full_hw1, self.cfg)
+        else:
+            bbox0 = jnp.stack([jnp.zeros((b,)), jnp.zeros((b,)),
+                               full_hw0[:, 1].astype(jnp.float32),
+                               full_hw0[:, 0].astype(jnp.float32)], axis=-1)
+            bbox1 = jnp.stack([jnp.zeros((b,)), jnp.zeros((b,)),
+                               full_hw1[:, 1].astype(jnp.float32),
+                               full_hw1[:, 0].astype(jnp.float32)], axis=-1)
+            used = jnp.zeros((b,), bool)
+
+        crop0, ratio0, _ = crop_resize_batch(image0, bbox0, self.cfg.canvas_hw)
+        crop1, ratio1, _ = crop_resize_batch(image1, bbox1, self.cfg.canvas_hw)
+        m = self.loftr.apply(self.loftr_params, grayscale(crop0),
+                             grayscale(crop1))
+        mk0 = unwarp_keypoints(m["mkpts0"], bbox0, ratio0)
+        mk1 = unwarp_keypoints(m["mkpts1"], bbox1, ratio1)
+        return {
+            "mkpts0": mk0, "mkpts1": mk1, "conf": m["conf"],
+            "valid": m["valid"], "bbox0": bbox0, "bbox1": bbox1,
+            "ratio0": ratio0, "ratio1": ratio1, "used_overlap": used,
+        }
+
+    def __call__(self, image0, image1, full_hw0, full_hw1,
+                 oetr_img0=None, oetr_img1=None, scales0=None, scales1=None,
+                 with_overlap: bool = True):
+        use_ov = with_overlap and self.oetr is not None and oetr_img0 is not None
+        if not use_ov:
+            z = jnp.zeros((image0.shape[0], 1, 1, 3), jnp.float32)
+            s = jnp.ones((image0.shape[0], 2), jnp.float32)
+            return self._jit_plain(image0, image1, full_hw0, full_hw1,
+                                   z, z, s, s)
+        return self._jit_run(image0, image1, full_hw0, full_hw1,
+                             oetr_img0, oetr_img1, scales0, scales1)

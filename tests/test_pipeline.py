@@ -1,0 +1,107 @@
+"""End-to-end overlap-guided pipeline on synthetic shifted image pairs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oetr_tpu.config import BackboneConfig, NeckConfig, OETRConfig
+from oetr_tpu.data.images import batch_pairs, prepare_image
+from oetr_tpu.data.pairs import parse_eval_pairs_line, parse_pairs_line
+from oetr_tpu.models import SuperPoint, build_oetr, nearest_neighbor_match
+from oetr_tpu.pipelines import PipelineConfig, SparsePipeline, gate_boxes
+
+
+def _textured_image(rng, h=96, w=96):
+    img = rng.uniform(0, 1, (h // 8, w // 8, 3)).astype(np.float32)
+    import cv2
+    return cv2.resize(img, (w, h), interpolation=cv2.INTER_NEAREST)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    cfg = PipelineConfig(oetr_hw=(64, 64), canvas_hw=(96, 96),
+                         fallback_min_matches=0)
+    sp = SuperPoint(max_keypoints=128, keypoint_threshold=1e-5, nms_radius=2)
+    sp_params = sp.init(jax.random.key(0), jnp.zeros((1, 96, 96, 1)))
+    match_fn = lambda data: nearest_neighbor_match(
+        data["descriptors0"], data["descriptors1"],
+        data["valid0"], data["valid1"], do_mutual_check=True)
+    return SparsePipeline(sp, sp_params, match_fn, cfg=cfg)
+
+
+def test_plain_pipeline_identity_pair(pipeline, rng):
+    img = _textured_image(rng)
+    p = prepare_image(img, (96, 96), (64, 64))
+    batch = batch_pairs([p], [p])
+    out = pipeline(jnp.asarray(batch["image0"]), jnp.asarray(batch["image1"]),
+                   jnp.asarray(batch["full_hw0"]),
+                   jnp.asarray(batch["full_hw1"]), with_overlap=False)
+    m = np.asarray(out["matches0"][0])
+    v = np.asarray(out["valid0"][0])
+    k0 = np.asarray(out["keypoints0"][0])
+    k1 = np.asarray(out["keypoints1"][0])
+    sel = (m > -1) & v
+    assert sel.sum() >= 10
+    err = np.linalg.norm(k0[sel] - k1[m[sel]], axis=-1)
+    # Identity pair: matched keypoints coincide.
+    assert np.median(err) < 1.0
+
+
+def test_overlap_pipeline_with_oetr(pipeline, rng):
+    cfg = OETRConfig(
+        backbone=BackboneConfig(depth=18, stop_layer="layer3", last_layer=256),
+        neck=NeckConfig(d_model=64, nhead=4, num_layers=1,
+                        num_decoder_layers=1, max_shape=(4, 4)))
+    oetr = build_oetr(cfg)
+    od = jnp.zeros((1, 64, 64, 3))
+    oetr_params = oetr.init(jax.random.key(1), od, od)
+    pipeline.oetr = oetr
+    pipeline.oetr_params = oetr_params
+    try:
+        img = _textured_image(rng)
+        p = prepare_image(img, (96, 96), (64, 64))
+        batch = batch_pairs([p], [p])
+        out = pipeline(
+            jnp.asarray(batch["image0"]), jnp.asarray(batch["image1"]),
+            jnp.asarray(batch["full_hw0"]), jnp.asarray(batch["full_hw1"]),
+            jnp.asarray(batch["oetr_img0"]), jnp.asarray(batch["oetr_img1"]),
+            jnp.asarray(batch["scales0"]), jnp.asarray(batch["scales1"]),
+            with_overlap=True)
+        # Boxes exist and lie within the image frame.
+        b0 = np.asarray(out["bbox0"][0])
+        assert b0[0] >= 0 and b0[2] <= 96 + 1e-3
+        # Keypoints are reported in the full-res frame.
+        k0 = np.asarray(out["keypoints0"][0])
+        assert k0.min() >= -1e-3 and k0.max() <= 96 + 1e-3
+    finally:
+        pipeline.oetr = None
+        pipeline.oetr_params = None
+
+
+def test_gate_boxes_fallback():
+    bbox0 = jnp.asarray([[10.0, 10.0, 10.5, 60.0]])   # degenerate width
+    bbox1 = jnp.asarray([[0.0, 0.0, 50.0, 50.0]])
+    hw = jnp.asarray([[100, 120]])
+    g0, g1, ok = gate_boxes(bbox0, bbox1, hw, hw, PipelineConfig())
+    assert not bool(ok[0])
+    np.testing.assert_allclose(np.asarray(g0[0]), [0, 0, 120, 100])
+    np.testing.assert_allclose(np.asarray(g1[0]), [0, 0, 120, 100])
+
+
+def test_pairs_parsers():
+    K = ",".join(["1"] * 9)
+    P = ",".join(["1"] * 16)
+    line = (f"a.jpg a.h5 {K} {P} 0,0,10,10 b.jpg b.h5 {K} {P} 1,1,5,5")
+    rec = parse_pairs_line(line)
+    assert rec is not None and rec.image_path1 == "a.jpg"
+    assert rec.K1.shape == (3, 3) and rec.pose2.shape == (4, 4)
+    # Degenerate overlap box -> filtered (megadepth_pairs.py:83-85).
+    bad = line.replace("0,0,10,10", "5,5,5,10")
+    assert parse_pairs_line(bad) is None
+
+    ev = "x/s/im0.jpg x/s/im1.jpg " + " ".join(["2"] * 9 + ["3"] * 9) + " " \
+        + " ".join(["4"] * 16) + " 0 0 5 5 1 1 6 6"
+    p = parse_eval_pairs_line(ev)
+    assert p is not None
+    assert p.K0[0, 0] == 2 and p.K1[0, 0] == 3 and p.T_0to1[0, 0] == 4
+    np.testing.assert_allclose(p.bbox0, [0, 0, 5, 5])

@@ -1,0 +1,162 @@
+"""Data layer (GT parity, dataset mechanics) + train-step/validation."""
+import os
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oetr_tpu.config import BackboneConfig, NeckConfig, OETRConfig, TrainConfig
+from oetr_tpu.data.gt import overlap_bbox_np
+from oetr_tpu.data.megadepth import (MegaDepthPairsDataset, central_crop,
+                                     resize_dataset)
+from oetr_tpu.geometry.overlap import overlap_bbox
+from oetr_tpu.training import (create_train_state, make_train_step,
+                               multistep_schedule, total_loss)
+from oetr_tpu.training.validation import evaluate
+
+
+def test_numpy_gt_matches_jax(rng):
+    K = np.array([[50.0, 0, 24], [0, 50.0, 24], [0, 0, 1]])
+    depth1 = np.full((48, 48), 10.0)
+    depth1[:5] = 0
+    depth2 = np.full((48, 48), 10.0)
+    pose1 = np.eye(4)
+    pose2 = np.eye(4)
+    pose2[:3, 3] = [1.07, 0.53, 0.0]
+    crop = np.zeros(2)
+    ratio = np.ones(2)
+    b1n, m1n, b2n, m2n, vn = overlap_bbox_np(K, depth1, pose1, crop, ratio,
+                                             K, depth2, pose2, crop, ratio)
+    b1j, m1j, b2j, m2j, vj = overlap_bbox(
+        jnp.asarray(K), jnp.asarray(depth1), jnp.asarray(pose1),
+        jnp.asarray(crop), jnp.asarray(ratio), jnp.asarray(K),
+        jnp.asarray(depth2), jnp.asarray(pose2), jnp.asarray(crop),
+        jnp.asarray(ratio))
+    assert vn == bool(vj)
+    np.testing.assert_allclose(b1n, np.asarray(b1j), atol=1e-5)
+    np.testing.assert_allclose(b2n, np.asarray(b2j), atol=1e-5)
+    np.testing.assert_allclose(m1n, np.asarray(m1j), atol=1e-5)
+    np.testing.assert_allclose(m2n, np.asarray(m2j), atol=1e-5)
+
+
+def test_resize_and_crop():
+    img = np.zeros((100, 200, 3), np.uint8)
+    out, ratio = resize_dataset(img, (50, 50))
+    assert out.shape[:2] == (50, 100)            # short side -> 50
+    np.testing.assert_allclose(ratio, (0.5, 0.5))
+
+    im1 = np.zeros((80, 80, 3))
+    im2 = np.zeros((80, 80, 3))
+    c1, o1, c2, o2 = central_crop(im1, im2, np.array([70.0, 70, 10, 10]),
+                                  (40, 40))
+    assert c1.shape[:2] == (40, 40)
+    assert (o1 == [40, 40]).all()                # clamped at border
+    assert (o2 == [0, 0]).all()
+
+
+@pytest.fixture
+def synthetic_megadepth(tmp_path, rng):
+    """Tiny on-disk MegaDepth-like tree + pairs file."""
+    import cv2
+    base = tmp_path
+    os.makedirs(base / "imgs", exist_ok=True)
+    os.makedirs(base / "depths", exist_ok=True)
+    K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
+    lines = []
+    for i in range(3):
+        img = (rng.uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+        cv2.imwrite(str(base / "imgs" / f"im{i}.jpg"), img)
+        with h5py.File(base / "depths" / f"d{i}.h5", "w") as f:
+            f.create_dataset("/depth", data=np.full((64, 64), 10.0))
+    Ks = ",".join(str(x) for x in K.reshape(-1))
+    P1 = ",".join(str(x) for x in np.eye(4).reshape(-1))
+    pose2 = np.eye(4)
+    pose2[:3, 3] = [0.5, 0.2, 0.0]
+    P2 = ",".join(str(x) for x in pose2.reshape(-1))
+    for a, b in [(0, 1), (1, 2)]:
+        lines.append(f"imgs/im{a}.jpg depths/d{a}.h5 {Ks} {P1} 5,5,60,60 "
+                     f"imgs/im{b}.jpg depths/d{b}.h5 {Ks} {P2} 2,2,50,50")
+    pairs = base / "pairs.txt"
+    pairs.write_text("\n".join(lines))
+    return str(base), str(pairs)
+
+
+def test_megadepth_dataset(synthetic_megadepth):
+    base, pairs = synthetic_megadepth
+    ds = MegaDepthPairsDataset(base, pairs, image_size=(64, 64), train=True)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["image1"].shape == (64, 64, 3)
+    assert 0.0 <= item["image1"].min() and item["image1"].max() <= 1.0
+    assert item["overlap_box1"].shape == (4,)
+    assert isinstance(item["overlap_valid"], bool)
+    batches = list(ds.batches(2))
+    assert len(batches) == 1
+    assert batches[0]["image1"].shape == (2, 64, 64, 3)
+    # Val determinism: same central matches across rebuilds.
+    val = MegaDepthPairsDataset(base, pairs, image_size=(64, 64), train=False)
+    cm1 = [sp.central_match.copy() for sp in val.dataset]
+    val.build_dataset()
+    cm2 = [sp.central_match for sp in val.dataset]
+    for a, b in zip(cm1, cm2):
+        np.testing.assert_allclose(a, b)
+
+
+def test_multistep_schedule():
+    cfg = TrainConfig(lr=1e-4, lr_milestones=(2, 4), lr_gamma=0.1)
+    sched = multistep_schedule(cfg, steps_per_epoch=10)
+    assert abs(float(sched(0)) - 1e-4) < 1e-12
+    assert abs(float(sched(25)) - 1e-5) < 1e-12
+    assert abs(float(sched(45)) - 1e-6) < 1e-12
+
+
+def test_train_step_and_validation(rng):
+    model_cfg = OETRConfig(
+        backbone=BackboneConfig(depth=18, stop_layer="layer3", last_layer=256),
+        neck=NeckConfig(d_model=64, nhead=4, num_layers=1,
+                        num_decoder_layers=1, max_shape=(4, 4)))
+    train_cfg = TrainConfig(batch_size=2, image_size=(64, 64))
+    model, state, tx = create_train_state(model_cfg, train_cfg,
+                                          jax.random.key(0), (64, 64))
+    step = make_train_step(model, tx, cycle=True)
+    batch = {
+        "image1": jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32),
+        "image2": jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32),
+        "overlap_box1": jnp.asarray([[4.0, 4, 60, 60]] * 2),
+        "overlap_box2": jnp.asarray([[8.0, 8, 56, 56]] * 2),
+        "overlap_valid": jnp.asarray([True, False]),
+    }
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+        assert "cycle_loss" in metrics
+    assert int(state.step) == 3
+    # Loss decreases on a fixed batch (overfit sanity).
+    assert losses[-1] < losses[0]
+
+    np_batch = {k: np.asarray(v) for k, v in batch.items()}
+    stats = evaluate(model, state.params, [np_batch])
+    assert stats["num_samples"] == 2          # only valid rows, both sides
+    assert 0.0 <= stats["R0.5"] <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from oetr_tpu.training import load_checkpoint, save_checkpoint
+    model_cfg = OETRConfig(
+        backbone=BackboneConfig(depth=18, stop_layer="layer3", last_layer=256),
+        neck=NeckConfig(d_model=64, nhead=4, num_layers=1,
+                        num_decoder_layers=1, max_shape=(4, 4)))
+    train_cfg = TrainConfig(batch_size=1, image_size=(64, 64))
+    model, state, tx = create_train_state(model_cfg, train_cfg,
+                                          jax.random.key(0), (64, 64))
+    save_checkpoint(str(tmp_path / "ckpt"), state, step=0)
+    restored = load_checkpoint(str(tmp_path / "ckpt"), 0, state)
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    assert int(restored.step) == int(state.step)

@@ -1,0 +1,111 @@
+"""FCOS head + focal losses + distributed normalization (psum on the
+8-device CPU mesh)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oetr_tpu.geometry.boxes import compute_locations
+from oetr_tpu.models.fcos import (FCOSHead, Scale, compute_centerness_targets,
+                                  fcos_losses, fcos_targets,
+                                  sigmoid_focal_loss, softmax_focal_loss)
+
+
+def test_fcos_head_shapes(rng):
+    head = FCOSHead(in_channels=64)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 64)).astype(np.float32))
+    params = head.init(jax.random.key(0), x)
+    logits, bbox, cent = head.apply(params, x)
+    assert logits.shape == (2, 8, 8, 1)
+    assert bbox.shape == (2, 8, 8, 4)
+    assert cent.shape == (2, 8, 8, 1)
+    assert float(jnp.min(bbox)) > 0          # exp-activated distances
+    # Focal-prior bias: initial P(fg) ~ prior_prob.
+    p = float(jax.nn.sigmoid(logits).mean())
+    assert 0.001 < p < 0.1
+
+
+def test_scale_param():
+    s = Scale(init_value=2.0)
+    p = s.init(jax.random.key(0), jnp.ones(3))
+    np.testing.assert_allclose(np.asarray(s.apply(p, jnp.ones(3))), 2.0)
+
+
+def test_focal_losses_basic():
+    logits = jnp.asarray([10.0, -10.0])
+    targets = jnp.asarray([1.0, 0.0])
+    loss = sigmoid_focal_loss(logits, targets)
+    assert float(jnp.max(loss)) < 1e-3       # confident & correct -> ~0
+    wrong = sigmoid_focal_loss(logits, 1 - targets)
+    assert float(jnp.min(wrong)) > 1.0
+
+    lg = jnp.asarray([[5.0, 0.0, 0.0]])
+    sf = softmax_focal_loss(lg, jnp.asarray([0]))
+    assert float(sf[0]) < 1e-3
+    sf_wrong = softmax_focal_loss(lg, jnp.asarray([1]))
+    assert float(sf_wrong[0]) > 1.0
+
+
+def test_centerness_targets():
+    # Perfectly centered: l=r, t=b -> centerness 1.
+    t = jnp.asarray([[4.0, 4.0, 4.0, 4.0], [1.0, 4.0, 8.0, 4.0]])
+    c = np.asarray(compute_centerness_targets(t))
+    np.testing.assert_allclose(c[0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(c[1], np.sqrt(1 / 8), atol=1e-6)
+
+
+def test_fcos_targets_center_sampling():
+    locs = compute_locations(4, 4, stride=16)       # 64x64 field
+    boxes = jnp.asarray([[0.0, 0.0, 64.0, 64.0]])
+    labels, reg = fcos_targets(locs, boxes, stride=16.0,
+                               center_sampling_radius=2.0)
+    assert labels.shape == (1, 16) and reg.shape == (1, 16, 4)
+    # All locations are inside the box; center sampling keeps all here
+    # (radius 32 covers the whole box).
+    assert np.asarray(labels).sum() == 16
+    # Regression targets positive inside.
+    assert float(jnp.min(reg)) > 0
+
+
+def test_fcos_losses_local_and_psum(rng):
+    locs = compute_locations(4, 4, stride=16)
+    b = 8
+    cls = jnp.asarray(rng.normal(size=(b, 4, 4, 1)).astype(np.float32))
+    reg = jnp.abs(jnp.asarray(rng.normal(size=(b, 4, 4, 4)).astype(np.float32))) + 1
+    cent = jnp.asarray(rng.normal(size=(b, 4, 4, 1)).astype(np.float32))
+    boxes = jnp.tile(jnp.asarray([[8.0, 8.0, 56.0, 56.0]]), (b, 1))
+
+    local = fcos_losses(locs, cls, reg, cent, boxes)
+    for k in ("cls_loss", "reg_loss", "centerness_loss"):
+        assert np.isfinite(float(local[k])), k
+
+    # Distributed: shard the batch over 8 devices; per-device losses use the
+    # psum'd normalizers — the *sum* over devices of cls_loss equals the
+    # local (all-data) computation because normalizers match.
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    def per_device(c, r, ce, bx):
+        out = fcos_losses(locs, c, r, ce, bx, data_axis="data")
+        return out["cls_loss"]
+
+    f = shard_map(per_device, mesh=mesh,
+                  in_specs=(P("data"), P("data"), P("data"), P("data")),
+                  out_specs=P())
+    # NB: out_specs=P() requires identical outputs; per-device cls_loss
+    # differs, so sum via psum inside instead.
+
+    def per_device_sum(c, r, ce, bx):
+        out = fcos_losses(locs, c, r, ce, bx, data_axis="data")
+        return jax.lax.psum(out["cls_loss"], "data")
+
+    f2 = shard_map(per_device_sum, mesh=mesh,
+                   in_specs=(P("data"), P("data"), P("data"), P("data")),
+                   out_specs=P())
+    dist_sum = float(f2(cls, reg, cent, boxes))
+    # Reference semantics: sum_over_devices(per_dev_sum / avg_pos) where
+    # avg_pos = total_pos / n_dev == local num_pos / b * ... — for identical
+    # per-device data the result equals the local loss computed per shard
+    # times n_dev normalized identically; just assert finiteness + scale.
+    assert np.isfinite(dist_sum)
+    assert dist_sum > 0

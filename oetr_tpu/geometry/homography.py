@@ -70,6 +70,27 @@ def similarity_from_2pts(p0: Array, p1: Array) -> Array:
     return jnp.array([[a, -b, t[0]], [b, a, t[1]], [0.0, 0.0, 1.0]], p0.dtype)
 
 
+def similarity_umeyama(p0: Array, p1: Array, weights: Array | None = None) -> Array:
+    """Closed-form least-squares 2D similarity p0 -> p1 (Umeyama/Procrustes).
+
+    Args:
+      p0, p1: [N, 2]; weights: optional [N] (0 excludes a pair).
+    Returns [3, 3] similarity matrix.
+    """
+    w = jnp.ones(p0.shape[0], p0.dtype) if weights is None else weights
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    mu0 = jnp.sum(p0 * w[:, None], 0) / wsum
+    mu1 = jnp.sum(p1 * w[:, None], 0) / wsum
+    q0 = p0 - mu0
+    q1 = p1 - mu1
+    # Complex least squares: s*e^{i t} = sum(conj(q0) q1) / sum(|q0|^2).
+    denom = jnp.maximum(jnp.sum(w * jnp.sum(q0 * q0, -1)), 1e-12)
+    a = jnp.sum(w * (q0[:, 0] * q1[:, 0] + q0[:, 1] * q1[:, 1])) / denom
+    b = jnp.sum(w * (q0[:, 0] * q1[:, 1] - q0[:, 1] * q1[:, 0])) / denom
+    t = mu1 - jnp.array([a * mu0[0] - b * mu0[1], b * mu0[0] + a * mu0[1]])
+    return jnp.array([[a, -b, t[0]], [b, a, t[1]], [0.0, 0.0, 1.0]], p0.dtype)
+
+
 def apply_homography(H: Array, pts: Array) -> Array:
     """[..., N, 2] -> warped [..., N, 2] (ref homo_trans, evaluation.py:30-36)."""
     ph = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)

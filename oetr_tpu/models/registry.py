@@ -50,8 +50,12 @@ def names(kind: str | None = None) -> list[str]:
 
 
 def _populate() -> None:
+    from .aslfeat import ASLFeat
+    from .d2net import D2Net
+    from .disk import DISK
     from .loftr import LoFTR
     from .oetr import OETR, build_oetr
+    from .r2d2 import R2D2
     from .superglue import SuperGlue
     from .superpoint import SuperPoint
 
@@ -64,6 +68,17 @@ def _populate() -> None:
         "extractor", SuperPoint,
         dict(nms_radius=4, max_keypoints=4096),
         "feats-superpoint-n4096-r1600"))
+    register("d2net-ss", ModelEntry(
+        "extractor", D2Net, dict(max_keypoints=2048), "feats-d2net-ss"))
+    register("r2d2-desc", ModelEntry(
+        "extractor", R2D2,
+        dict(reliability_thr=0.7, repeatability_thr=0.7, max_keypoints=5000),
+        "feats-r2d2-desc"))
+    register("disk-desc", ModelEntry(
+        "extractor", DISK, dict(max_keypoints=2048), "feats-disk-desc"))
+    register("aslfeat-desc", ModelEntry(
+        "extractor", ASLFeat, dict(max_keypoints=2048),
+        "feats-aslfeat-desc"))
 
     # Matchers (conf parity: dloc/core/match_features.py:23-107).
     register("superglue_outdoor", ModelEntry(
@@ -90,6 +105,14 @@ def _populate() -> None:
             data.get("valid0"), data.get("valid1"), **kw)),
         dict(distance_threshold=0.7, do_mutual_check=True),
         "matches-NN-mutual-dist.7"))
+
+    # DISK brute-force matcher = mutual NN over DISK descriptors
+    # (the reference submodule's match(), dloc/core/matchers/disk_match.py).
+    register("disk", ModelEntry(
+        "matcher", lambda **kw: (lambda data: nearest_neighbor_match(
+            data["descriptors0"], data["descriptors1"],
+            data.get("valid0"), data.get("valid1"), **kw)),
+        dict(do_mutual_check=True), "matches-disk-brute-force"))
 
     # Overlap estimators (conf parity: dloc/core/overlap_features.py:20-46).
     register("oetr", ModelEntry(

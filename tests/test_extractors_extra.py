@@ -1,0 +1,103 @@
+"""DISK / D2-Net / R2D2 / ASLFeat extractors, SIFT-based host extractors,
+ICP contour matcher."""
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oetr_tpu.models import (ASLFeat, D2Net, DISK, R2D2,
+                             ContextDescAugmenter, contextdesc_extract,
+                             icp_match, landmark_extract, registry)
+
+
+def _check_extractor_output(out, k, d, hw):
+    assert out["keypoints"].shape == (1, k, 2)
+    assert out["descriptors"].shape == (1, k, d)
+    kp = np.asarray(out["keypoints"])
+    assert kp.min() >= 0 and kp[..., 0].max() < hw[1] and \
+        kp[..., 1].max() < hw[0]
+    desc = np.asarray(out["descriptors"])
+    np.testing.assert_allclose(np.linalg.norm(desc, axis=-1), 1.0, atol=1e-4)
+
+
+def test_disk(rng):
+    model = DISK(max_keypoints=64)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), img)
+    out = model.apply(params, img)
+    _check_extractor_output(out, 64, 128, (64, 64))
+
+
+def test_d2net(rng):
+    model = D2Net(max_keypoints=32)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), img)
+    out = model.apply(params, img)
+    _check_extractor_output(out, 32, 512, (64, 64))
+    # Detection scores are a normalized distribution per image.
+    s = np.asarray(out["dense_scores"])
+    assert s.min() >= 0
+
+
+def test_r2d2(rng):
+    model = R2D2(max_keypoints=64, reliability_thr=0.0, repeatability_thr=0.0)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 48, 48, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), img)
+    out = model.apply(params, img)
+    _check_extractor_output(out, 64, 128, (48, 48))
+    assert out["reliability"].shape == (1, 48, 48)
+
+
+def test_aslfeat(rng):
+    model = ASLFeat(max_keypoints=32)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), img)
+    out = model.apply(params, img)
+    _check_extractor_output(out, 32, 128, (64, 64))
+
+
+def test_registry_has_all_extractors():
+    names = registry.names("extractor")
+    for n in ("superpoint_aachen", "superpoint_inloc", "d2net-ss",
+              "r2d2-desc", "disk-desc", "aslfeat-desc"):
+        assert n in names, n
+    assert "disk" in registry.names("matcher")
+
+
+@pytest.fixture
+def textured_u8(rng):
+    img = (rng.uniform(0, 255, (16, 16))).astype(np.uint8)
+    return cv2.resize(img, (128, 128), interpolation=cv2.INTER_NEAREST)
+
+
+def test_landmark_sift(textured_u8):
+    out = landmark_extract(textured_u8, topk=64)
+    assert out["keypoints"].shape == (64, 2)
+    assert out["valid"].any()
+
+
+def test_contextdesc(textured_u8):
+    aug = ContextDescAugmenter()
+    params = aug.init(jax.random.key(0), jnp.zeros((1, 4, 128)),
+                      jnp.zeros((1, 4, 2)), jnp.zeros((1, 4)))
+    out = contextdesc_extract(textured_u8, aug, params, topk=64)
+    assert out["descriptors"].shape == (64, 128)
+    v = out["valid"]
+    if v.any():
+        np.testing.assert_allclose(
+            np.linalg.norm(out["descriptors"][v], axis=-1), 1.0, atol=1e-4)
+
+
+def test_icp_match(rng):
+    # A white blob translated by (15, 8) between two frames.
+    img0 = np.zeros((240, 240), np.uint8)
+    cv2.circle(img0, (100, 100), 60, 255, -1)
+    M = np.float32([[1, 0, 15], [0, 1, 8]])
+    img1 = cv2.warpAffine(img0, M, (240, 240))
+    out = icp_match(img0, img1, min_area=1000.0)
+    assert out["converged"]
+    T = out["T"]
+    np.testing.assert_allclose(T[0, 2], 15.0, atol=3.0)
+    np.testing.assert_allclose(T[1, 2], 8.0, atol=3.0)
+    np.testing.assert_allclose(T[0, 0], 1.0, atol=0.05)

@@ -1,5 +1,6 @@
 """Model zoo: OETR (overlap), SuperPoint, SuperGlue, LoFTR, NN matcher."""
 from .aslfeat import ASLFeat
+from .cotr import COTR, cotr_match, make_composite
 from .d2net import D2Net, VGGConv4, d2net_scores
 from .disk import DISK, DiskUNet
 from .icp import foreground_mask, icp_match, icp_register
@@ -26,5 +27,5 @@ __all__ = [
     "ASLFeat", "D2Net", "VGGConv4", "d2net_scores", "DISK", "DiskUNet",
     "foreground_mask", "icp_match", "icp_register", "R2D2", "R2D2Trunk",
     "ContextDescAugmenter", "contextdesc_extract", "landmark_extract",
-    "sift_keypoints",
+    "sift_keypoints", "COTR", "cotr_match", "make_composite",
 ]

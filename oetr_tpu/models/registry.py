@@ -106,6 +106,11 @@ def _populate() -> None:
         dict(distance_threshold=0.7, do_mutual_check=True),
         "matches-NN-mutual-dist.7"))
 
+    from .cotr import COTR
+
+    register("cotr", ModelEntry(
+        "matcher", COTR, {}, "matches-cotr"))
+
     # DISK brute-force matcher = mutual NN over DISK descriptors
     # (the reference submodule's match(), dloc/core/matchers/disk_match.py).
     register("disk", ModelEntry(

@@ -77,7 +77,7 @@ class EvalPair:
 def parse_eval_pairs_line(line: str) -> EvalPair | None:
     """Benchmark pair line (dloc/evaluate/dataloader/megadepth.py:19-23)."""
     f = line.split()
-    if len(f) < 38:
+    if len(f) < 36:          # 2 names + K0(9) + K1(9) + pose(16)
         return None
     K0 = np.array(f[2:11], dtype=float).reshape(3, 3)
     K1 = np.array(f[11:20], dtype=float).reshape(3, 3)

@@ -1,10 +1,10 @@
 """Benchmark evaluation layer (MegaDepth / IMC / HPatches parity)."""
-from . import hpatches, imc, megadepth
+from . import datasets, hpatches, imc, imc_math, megadepth
 from .metrics import (error_summary, iou_recalls, pose_acc, pose_auc,
                       pose_mAA)
 from .twoview import correct_intrinsics, validation_error
 
 __all__ = [
     "error_summary", "iou_recalls", "pose_acc", "pose_auc", "pose_mAA",
-    "correct_intrinsics", "validation_error", "hpatches", "imc", "megadepth",
+    "correct_intrinsics", "validation_error", "datasets", "hpatches", "imc", "imc_math", "megadepth",
 ]

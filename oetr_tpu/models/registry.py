@@ -79,6 +79,18 @@ def _populate() -> None:
     register("aslfeat-desc", ModelEntry(
         "extractor", ASLFeat, dict(max_keypoints=2048),
         "feats-aslfeat-desc"))
+    # Host-side SIFT-family extractors (conf parity:
+    # dloc/core/extractors/landmark.py:17-40, contextdesc.py:22-70).
+    from .sift_based import contextdesc_extract, landmark_extract
+
+    register("landmark", ModelEntry(
+        "extractor", lambda **kw: (lambda image_u8: landmark_extract(
+            image_u8, **kw)),
+        dict(topk=2048), "feats-landmark-sift"))
+    register("contextdesc", ModelEntry(
+        "extractor", lambda **kw: (lambda image_u8: contextdesc_extract(
+            image_u8, **kw)),
+        dict(topk=2048), "feats-contextdesc"))
 
     # Matchers (conf parity: dloc/core/match_features.py:23-107).
     register("superglue_outdoor", ModelEntry(
@@ -118,6 +130,14 @@ def _populate() -> None:
             data["descriptors0"], data["descriptors1"],
             data.get("valid0"), data.get("valid1"), **kw)),
         dict(do_mutual_check=True), "matches-disk-brute-force"))
+
+    # Contour-ICP rigid matcher (conf parity: dloc/core/matchers/icp.py:16).
+    from .icp import icp_match
+
+    register("icp", ModelEntry(
+        "matcher", lambda **kw: (lambda image0_u8, image1_u8: icp_match(
+            image0_u8, image1_u8, **kw)),
+        {}, "matches-icp"))
 
     # Overlap estimators (conf parity: dloc/core/overlap_features.py:20-46).
     register("oetr", ModelEntry(

@@ -103,6 +103,34 @@ def make_matching_plot_fast(image0, image1, mkpts0, mkpts1, color,
     return out
 
 
+def plot_mma_curves(curves: dict[str, np.ndarray], thresholds=None,
+                    title: str = "HPatches MMA", path=None, dpi=100):
+    """MMA-vs-pixel-threshold curves, one line per method
+    (ref: dloc/evaluate/utils/visualization.py:15-89, plot_hpatches_mAA).
+
+    ``curves`` maps method name -> accuracy array over ``thresholds``
+    (default 1..len px). Returns the figure.
+    """
+    fig, ax = plt.subplots(figsize=(6, 4), dpi=dpi)
+    for name, acc in curves.items():
+        acc = np.asarray(acc, np.float64)
+        thr = (np.arange(1, len(acc) + 1) if thresholds is None
+               else np.asarray(thresholds))
+        ax.plot(thr, acc, marker="o", markersize=3, linewidth=1.5,
+                label=name)
+    ax.set_xlabel("threshold [px]")
+    ax.set_ylabel("MMA")
+    ax.set_ylim(0, 1)
+    ax.grid(alpha=0.3)
+    ax.legend(fontsize=8)
+    ax.set_title(title)
+    fig.tight_layout()
+    if path is not None:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def visualize_overlap_gt(image1, bbox1, gt_bbox1, image2, bbox2, gt_bbox2,
                          path=None):
     """Pred (blue) vs GT (green) overlap boxes side by side

@@ -132,3 +132,18 @@ def test_registry_surface():
     assert sg.descriptor_dim == 128
     with pytest.raises(KeyError):
         registry.get("nope")
+
+
+def test_registry_host_side_entries(rng):
+    for n in ("landmark", "contextdesc"):
+        assert n in registry.names("extractor")
+    assert "icp" in registry.names("matcher")
+
+    img = (rng.uniform(0, 255, (96, 96))).astype(np.uint8)
+    img[20:60, 20:60] = 255
+    feats = registry.build("landmark")(img)
+    assert feats["keypoints"].shape[-1] == 2
+
+    icp = registry.build("icp", min_area=100.0)
+    out = icp(img, img)
+    assert out["T"].shape == (3, 3)

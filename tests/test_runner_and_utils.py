@@ -132,6 +132,12 @@ def test_viz_utils(tmp_path, rng):
                               img, [10, 10, 40, 40], [11, 11, 39, 39])
     assert ov.shape == (64, 128, 3)
 
+    from oetr_tpu.utils.viz import plot_mma_curves
+    fig = plot_mma_curves(
+        {"ours": np.linspace(0.2, 0.9, 10), "ref": np.linspace(0.1, 0.8, 10)},
+        path=str(tmp_path / "mma.png"))
+    assert os.path.exists(tmp_path / "mma.png")
+
 
 def test_timer_and_streamer(tmp_path, rng):
     t = AverageTimer()

@@ -75,8 +75,15 @@ class EvalPair:
 
 
 def parse_eval_pairs_line(line: str) -> EvalPair | None:
-    """Benchmark pair line (dloc/evaluate/dataloader/megadepth.py:19-23)."""
+    """Benchmark pair line (dloc/evaluate/dataloader/megadepth.py:19-23).
+
+    Name-only lines (HPatches '<seq>/1.ppm <seq>/i.ppm') get identity
+    K/pose so the matching runner can drive homography benchmarks too.
+    """
     f = line.split()
+    if len(f) == 2:
+        return EvalPair(f[0], f[1], np.eye(3), np.eye(3), np.eye(4),
+                        None, None)
     if len(f) < 36:          # 2 names + K0(9) + K1(9) + pose(16)
         return None
     K0 = np.array(f[2:11], dtype=float).reshape(3, 3)

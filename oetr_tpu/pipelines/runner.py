@@ -30,7 +30,11 @@ from ..utils.h5io import pair_key, save_scene_results, stem
 
 def _scene_of(name: str) -> str:
     parts = name.split("/")
-    return parts[1] if len(parts) > 2 else "."
+    if len(parts) > 2:
+        return parts[1]          # dataset/scene/.../img (MegaDepth, IMC)
+    if len(parts) == 2:
+        return parts[0]          # seq/img (HPatches)
+    return "."
 
 
 def run_benchmark(pipeline, pairs_file: str, dataset_path: str,

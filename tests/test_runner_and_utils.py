@@ -72,6 +72,49 @@ def test_runner_end_to_end(tmp_path, rng):
     sr.close()
 
 
+def test_runner_hpatches_end_to_end(tmp_path, rng):
+    """Name-only pairs -> runner -> iter_hpatches_results -> MMA table."""
+    from oetr_tpu.models import SuperPoint, nearest_neighbor_match
+    from oetr_tpu.pipelines import PipelineConfig, SparsePipeline
+    from oetr_tpu.pipelines.runner import run_benchmark
+    from oetr_tpu.evalx import hpatches
+    from oetr_tpu.evalx.datasets import (generate_hpatches_pairs,
+                                         iter_hpatches_results)
+
+    root = tmp_path / "hp"
+    img = (rng.uniform(0, 255, (12, 12, 3))).astype(np.uint8)
+    img = cv2.resize(img, (96, 96), interpolation=cv2.INTER_NEAREST)
+    for seq in ("i_seq", "v_seq"):
+        os.makedirs(root / seq, exist_ok=True)
+        for i in range(1, 7):
+            cv2.imwrite(str(root / seq / f"{i}.ppm"), img)
+            if i > 1:
+                np.savetxt(root / seq / f"H_1_{i}", np.eye(3))
+    pairs_file = tmp_path / "hp_pairs.txt"
+    n = generate_hpatches_pairs(str(root), str(pairs_file))
+    assert n == 10
+
+    cfg = PipelineConfig(oetr_hw=(64, 64), canvas_hw=(96, 96),
+                         fallback_min_matches=0)
+    sp = SuperPoint(max_keypoints=64, keypoint_threshold=1e-5, nms_radius=2)
+    sp_params = sp.init(jax.random.key(0), jnp.zeros((1, 96, 96, 1)))
+    match_fn = lambda data: nearest_neighbor_match(
+        data["descriptors0"], data["descriptors1"],
+        data["valid0"], data["valid1"])
+    pipe = SparsePipeline(sp, sp_params, match_fn, cfg=cfg)
+
+    results = tmp_path / "results"
+    stats = run_benchmark(pipe, str(pairs_file), str(root), str(results),
+                          batch_size=4, with_overlap=False, pairwise=False)
+    assert stats["num_pairs"] == 10 and stats["num_scenes"] == 2
+
+    recs = list(iter_hpatches_results(str(pairs_file), str(root),
+                                      str(results)))
+    table = hpatches.benchmark_results(recs)
+    # Identity pair under identity homography: near-perfect MMA at 3px.
+    assert table["overall"][3] > 0.9, table
+
+
 def test_evaluate_R_t_and_essential(rng):
     from scipy.spatial.transform import Rotation
     R = Rotation.from_euler("xyz", [5, 3, -2], degrees=True).as_matrix()

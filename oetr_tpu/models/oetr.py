@@ -84,6 +84,26 @@ class PatchMerging(nn.Module):
         return jnp.concatenate(outs, axis=-1)
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding (ref: src/models/backbone.py:70-127;
+    unused in the reference's main path, kept for component parity).
+    [B, H, W, C] -> [B, H/ps, W/ps, embed_dim] via a stride-ps conv,
+    optionally LayerNorm'd."""
+    patch_size: int = 4
+    embed_dim: int = 96
+    use_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        ps = self.patch_size
+        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps),
+                    dtype=self.dtype, name="proj")(x)
+        if self.use_norm:
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+        return x
+
+
 class OETR(nn.Module):
     """Overlap-box predictor over an image pair.
 

@@ -203,3 +203,40 @@ class QueryTransformer(nn.Module):
         hs0 = run_decoder(q0, feat0, mask0, pos0)
         hs1 = run_decoder(q1, feat1, mask1, pos1)
         return hs0, hs1, feat0, feat1
+
+
+class ChannelAttention(nn.Module):
+    """CBAM channel gate (ref: transformer.py:386-404; unused in the
+    reference's main path, kept for component parity). Input [B, N, C]
+    tokens; avg+max pool over tokens -> shared 2-layer MLP -> sigmoid."""
+    d_model: int
+    reduction: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        hidden = max(self.d_model // self.reduction, 1)
+        fc1 = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="fc1")
+        fc2 = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                       name="fc2")
+        avg = fc2(nn.relu(fc1(jnp.mean(x, axis=1))))
+        mx = fc2(nn.relu(fc1(jnp.max(x, axis=1))))
+        gate = nn.sigmoid((avg + mx).astype(jnp.float32)).astype(x.dtype)
+        return x * gate[:, None, :]
+
+
+class SpatialAttention(nn.Module):
+    """CBAM spatial gate (ref: transformer.py:406-422). Input [B, H, W, C];
+    channel avg+max maps -> kxk conv -> sigmoid."""
+    kernel_size: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        g = nn.Conv(1, (self.kernel_size, self.kernel_size),
+                    padding=self.kernel_size // 2, use_bias=False,
+                    dtype=self.dtype, name="conv")(
+                        jnp.concatenate([avg, mx], axis=-1))
+        return x * nn.sigmoid(g.astype(jnp.float32)).astype(x.dtype)

@@ -41,6 +41,9 @@ def main(argv=None):
     ap.add_argument("--cycle", action="store_true")
     ap.add_argument("--oiou", action="store_true")
     ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--tensorboard", default=None,
+                    help="scalar log dir (loss_info parity, "
+                         "ref src/utils/utils.py:179)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -72,6 +75,11 @@ def main(argv=None):
     step_fn = make_train_step(model, tx, mesh=mesh, cycle=args.cycle,
                               oiou=args.oiou)
 
+    writer = None
+    if args.tensorboard:
+        from ..utils.profiling import ScalarWriter
+        writer = ScalarWriter(args.tensorboard)
+
     rng = jax.random.key(train_cfg.seed + 1)
     for epoch in range(args.epochs):
         dataset.build_dataset()            # re-sample pairs (ref train.py:102)
@@ -84,6 +92,8 @@ def main(argv=None):
                 log.info("epoch %d it %d loss %.4f iou %.3f/%.3f (%.1f s)",
                          epoch, it, m["loss"], m["iou1"], m["iou2"],
                          time.time() - t0)
+                if writer is not None:
+                    writer.write(int(state.step), m)
         if val_dataset is not None:
             stats = evaluate(model, state.params,
                              val_dataset.batches(args.batch_size),

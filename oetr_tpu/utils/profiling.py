@@ -52,3 +52,54 @@ def benchmark(fn, *args, iters: int = 20, warmup: int = 2) -> dict:
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     return {"mean_s": dt, "per_s": 1.0 / dt}
+
+
+def device_memory_stats(device=None) -> dict:
+    """Per-device HBM usage (ref analogue: get_gpu_memory,
+    src/utils/utils.py:68-73). Returns {} on backends without stats."""
+    device = device or jax.local_devices()[0]
+    stats = device.memory_stats() or {}
+    out = {}
+    if "bytes_in_use" in stats:
+        out["bytes_in_use"] = int(stats["bytes_in_use"])
+    if "bytes_limit" in stats:
+        out["bytes_limit"] = int(stats["bytes_limit"])
+        if "bytes_in_use" in out:
+            out["utilization"] = out["bytes_in_use"] / max(
+                out["bytes_limit"], 1)
+    return out
+
+
+class ScalarWriter:
+    """Tiny TensorBoard scalar logger (ref analogue: loss_info,
+    src/utils/utils.py:179-188). Uses torch.utils.tensorboard when
+    available; otherwise falls back to a JSONL file."""
+
+    def __init__(self, logdir: str):
+        import os
+        os.makedirs(logdir, exist_ok=True)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(logdir)
+            self._fh = None
+        except Exception:
+            import json
+            self._tb = None
+            self._fh = open(f"{logdir}/scalars.jsonl", "a")
+            self._json = json
+
+    def write(self, step: int, scalars: dict) -> None:
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), step)
+        else:
+            self._fh.write(self._json.dumps(
+                {"step": int(step), **{k: float(v)
+                                       for k, v in scalars.items()}}) + "\n")
+            self._fh.flush()
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+        else:
+            self._fh.close()

@@ -107,3 +107,42 @@ def test_non_square_inputs(tiny_model_and_params):
     out = model.apply(params, img1, img2)
     b1 = np.asarray(out["pred_bbox1"][0])
     assert b1[2] <= 128.0 and b1[3] <= 96.0
+
+
+def test_parity_modules_cbam_patchembed(rng):
+    """ChannelAttention/SpatialAttention/PatchEmbed (ref parity modules,
+    transformer.py:386-422 + backbone.py:70-127)."""
+    import jax
+    from oetr_tpu.models.oetr import PatchEmbed
+    from oetr_tpu.models.transformer import (ChannelAttention,
+                                             SpatialAttention)
+
+    x_tok = jnp.asarray(rng.normal(size=(2, 16, 32)), jnp.float32)
+    ca = ChannelAttention(d_model=32, reduction=4)
+    y = ca.apply(ca.init(jax.random.key(0), x_tok), x_tok)
+    assert y.shape == x_tok.shape
+    # Gate in (0, 1): output magnitude never exceeds input.
+    assert float(jnp.abs(y).max()) <= float(jnp.abs(x_tok).max()) + 1e-6
+
+    x_img = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+    sa = SpatialAttention(kernel_size=3)
+    y = sa.apply(sa.init(jax.random.key(0), x_img), x_img)
+    assert y.shape == x_img.shape
+
+    pe = PatchEmbed(patch_size=4, embed_dim=24)
+    y = pe.apply(pe.init(jax.random.key(0), x_img), x_img)
+    assert y.shape == (2, 2, 2, 24)
+
+
+def test_profiling_helpers(tmp_path):
+    from oetr_tpu.utils.profiling import ScalarWriter, device_memory_stats
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+
+    w = ScalarWriter(str(tmp_path / "tb"))
+    w.write(1, {"loss": 0.5, "iou": 0.9})
+    w.write(2, {"loss": 0.4})
+    w.close()
+    import os
+    assert len(os.listdir(tmp_path / "tb")) >= 1

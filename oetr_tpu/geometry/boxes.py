@@ -196,3 +196,61 @@ def mesh_grid_centers(h: int, w: int, stride_h: float, stride_w: float) -> Array
     ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride_h
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+
+
+def delta2bbox(rois: Array, deltas: Array,
+               means: tuple = (0.0, 0.0, 0.0, 0.0),
+               stds: tuple = (1.0, 1.0, 1.0, 1.0),
+               max_shape: tuple | None = None,
+               wh_ratio_clip: float = 16.0 / 1000.0) -> Array:
+    """Decode (dx, dy, dw, dh) deltas against anchor boxes.
+
+    Ref semantics: src/models/utils.py:63-133 (mmdet-style): denormalize
+    by means/stds, clamp log-scale terms at |log(wh_ratio_clip)|, shift
+    centers by dx*pw / dy*ph, scale sizes by exp, emit clamped xyxy.
+    rois/deltas: [..., 4].
+    """
+    means_a = jnp.asarray(means, deltas.dtype)
+    stds_a = jnp.asarray(stds, deltas.dtype)
+    d = deltas * stds_a + means_a
+    dx, dy, dw, dh = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
+    max_ratio = jnp.abs(jnp.log(wh_ratio_clip))
+    dw = jnp.clip(dw, -max_ratio, max_ratio)
+    dh = jnp.clip(dh, -max_ratio, max_ratio)
+    px = (rois[..., 0] + rois[..., 2]) * 0.5
+    py = (rois[..., 1] + rois[..., 3]) * 0.5
+    pw = rois[..., 2] - rois[..., 0]
+    ph = rois[..., 3] - rois[..., 1]
+    gx = px + pw * dx
+    gy = py + ph * dy
+    gw = pw * jnp.exp(dw)
+    gh = ph * jnp.exp(dh)
+    x1, y1 = gx - gw * 0.5, gy - gh * 0.5
+    x2, y2 = gx + gw * 0.5, gy + gh * 0.5
+    out = jnp.stack([x1, y1, x2, y2], axis=-1)
+    if max_shape is not None:
+        h, w = max_shape[:2]
+        lim = jnp.asarray([w - 1, h - 1, w - 1, h - 1], out.dtype)
+        out = jnp.clip(out, 0.0, lim)
+    return out
+
+
+def mask2bbox(mask: Array) -> Array:
+    """Bounding box [x1, y1, x2, y2] of the True pixels of a [..., H, W]
+    mask (ref semantics: src/models/utils.py:155-172). All-False masks
+    yield a zero box. Static-shaped: masked min/max over the dense grid.
+    """
+    h, w = mask.shape[-2], mask.shape[-1]
+    m = mask.astype(jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    big = jnp.float32(1e9)
+    any_true = jnp.max(m, axis=(-2, -1)) > 0
+    col = jnp.max(m, axis=-2)     # [..., W] has-any-true per column
+    row = jnp.max(m, axis=-1)     # [..., H]
+    x1 = jnp.min(jnp.where(col > 0, xs, big), axis=-1)
+    x2 = jnp.max(jnp.where(col > 0, xs, -big), axis=-1)
+    y1 = jnp.min(jnp.where(row > 0, ys, big), axis=-1)
+    y2 = jnp.max(jnp.where(row > 0, ys, -big), axis=-1)
+    box = jnp.stack([x1, y1, x2, y2], axis=-1)
+    return jnp.where(any_true[..., None], box, jnp.zeros_like(box))

@@ -96,3 +96,32 @@ def test_mesh_grid_centers():
     np.testing.assert_allclose(np.asarray(grid[0]), [16.0, 16.0])
     np.testing.assert_allclose(np.asarray(grid[1]), [48.0, 16.0])  # x fastest
     np.testing.assert_allclose(np.asarray(grid[3]), [16.0, 48.0])
+
+
+def test_delta2bbox_identity_and_shift():
+    from oetr_tpu.geometry import delta2bbox
+    rois = jnp.array([[10.0, 10.0, 30.0, 50.0]])
+    # Zero deltas: box unchanged.
+    out = delta2bbox(rois, jnp.zeros((1, 4)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(rois), atol=1e-5)
+    # dx = 1 shifts center by one box width (20px).
+    out = delta2bbox(rois, jnp.array([[1.0, 0.0, 0.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(out[0]), [30.0, 10.0, 50.0, 50.0],
+                               atol=1e-4)
+    # log-scale growth: dw = log 2 doubles the width.
+    out = delta2bbox(rois, jnp.array([[0.0, 0.0, float(np.log(2.0)), 0.0]]))
+    np.testing.assert_allclose(np.asarray(out[0]), [0.0, 10.0, 40.0, 50.0],
+                               atol=1e-3)
+    # Clamped to max_shape.
+    out = delta2bbox(rois, jnp.zeros((1, 4)), max_shape=(40, 25))
+    np.testing.assert_allclose(np.asarray(out[0]), [10.0, 10.0, 24.0, 39.0],
+                               atol=1e-5)
+
+
+def test_mask2bbox():
+    from oetr_tpu.geometry import mask2bbox
+    m = np.zeros((2, 8, 10), bool)
+    m[0, 2:5, 3:7] = True          # y 2..4, x 3..6
+    box = np.asarray(mask2bbox(jnp.asarray(m)))
+    np.testing.assert_allclose(box[0], [3, 2, 6, 4])
+    np.testing.assert_allclose(box[1], [0, 0, 0, 0])  # empty mask

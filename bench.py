@@ -31,7 +31,9 @@ def main():
     cfg = OETRConfig(dtype="bfloat16")
     model = build_oetr(cfg)
     img = jnp.zeros((1, 640, 640, 3), jnp.float32)
-    params = model.init(jax.random.key(0), img, img)
+    # jit the init: one XLA compile instead of one eager dispatch per
+    # primitive (the axon remote-compile path costs ~1s per op).
+    params = jax.jit(model.init)(jax.random.key(0), img, img)
 
     @jax.jit
     def forward(image1, image2):

@@ -157,8 +157,16 @@ class MegaDepthPairsDataset:
                           + os.path.basename(rec.image_path2)),
         }
 
-    def batches(self, batch_size: int, drop_last: bool = True):
-        """Yield stacked fixed-shape batches ready for the train step."""
+    def batches(self, batch_size: int, drop_last: bool = True,
+                geometry: bool = False):
+        """Yield stacked fixed-shape batches ready for the train step.
+
+        ``geometry=True`` additionally stacks the depth/intrinsics/pose/
+        crop/ratio tensors the depth-warped CycleOverlapLoss consumes
+        (training.losses.cycle_overlap_loss), with ratios swapped to the
+        warp convention (ratio_y, ratio_x) — the same swap the GT overlap
+        call applies above.
+        """
         n = len(self)
         for start in range(0, n - (batch_size - 1 if drop_last else 0),
                            batch_size):
@@ -170,4 +178,16 @@ class MegaDepthPairsDataset:
                 batch[k] = np.stack([it[k] for it in items])
             batch["overlap_valid"] = np.array(
                 [it["overlap_valid"] for it in items], bool)
+            if geometry:
+                for side in ("1", "2"):
+                    batch["K" + side] = np.stack(
+                        [it["intrinsics" + side] for it in items])
+                    batch["depth" + side] = np.stack(
+                        [it["depth" + side] for it in items])
+                    batch["pose" + side] = np.stack(
+                        [it["pose" + side] for it in items])
+                    batch["crop" + side] = np.stack(
+                        [it["bbox" + side] for it in items])
+                    batch["ratio" + side] = np.stack(
+                        [it["ratio" + side][::-1] for it in items])
             yield batch

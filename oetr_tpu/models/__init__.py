@@ -6,7 +6,8 @@ from .disk import DISK, DiskUNet
 from .icp import foreground_mask, icp_match, icp_register
 from .loftr import LoFTR, LoFTREncoderLayer, LoFTRModule, ResNetFPN_8_2
 from .matchers import find_nn, mutual_check, nearest_neighbor_match
-from .oetr import OETR, PatchMerging, build_oetr, sine_position_encoding
+from .oetr import (OETR, PatchEmbed, PatchMerging, build_oetr,
+                   detr_position_embedding, sine_position_encoding)
 from .resnet import ResNetEncoder, backbone_channels
 from .superglue import AttentionalPropagation, KeypointEncoder, SuperGlue
 from .r2d2 import R2D2, R2D2Trunk
@@ -18,7 +19,8 @@ from .transformer import (DecoderLayer, EncoderLayer, MultiHeadAttention,
 from . import registry
 
 __all__ = [
-    "OETR", "PatchMerging", "build_oetr", "sine_position_encoding",
+    "OETR", "PatchEmbed", "PatchMerging", "build_oetr",
+    "detr_position_embedding", "sine_position_encoding",
     "ResNetEncoder", "backbone_channels", "DecoderLayer", "EncoderLayer",
     "MultiHeadAttention", "QueryTransformer", "SuperPoint", "SuperPointNet",
     "grayscale", "SuperGlue", "AttentionalPropagation", "KeypointEncoder",

@@ -59,6 +59,39 @@ def sine_position_encoding(d_model: int, max_shape: tuple[int, int],
     return jnp.transpose(pe, (1, 2, 0))  # [H, W, C]
 
 
+def detr_position_embedding(mask: Array, d_model: int,
+                            temperature: float = 10000.0,
+                            normalize: bool = True,
+                            scale: float | None = None) -> Array:
+    """DETR-style mask-aware sine embedding [B, H, W, d_model].
+
+    Ref: PositionEmbeddingSine, src/models/utils.py:208-253 (unused in the
+    reference's main path; kept for component parity). Positions are
+    cumsums over the validity ``mask`` [B, H, W] (True = valid pixel), so
+    padded regions don't stretch the coordinate frame; ``normalize`` maps
+    each image's extent to [0, scale] (default 2*pi).
+    """
+    if scale is None:
+        scale = 2.0 * math.pi
+    m = mask.astype(jnp.float32)
+    y_embed = jnp.cumsum(m, axis=1)
+    x_embed = jnp.cumsum(m, axis=2)
+    if normalize:
+        eps = 1e-6
+        y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+        x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    num_pos_feats = d_model // 2
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2.0 * jnp.floor(dim_t / 2.0) / num_pos_feats)
+    pos_x = x_embed[..., None] / dim_t
+    pos_y = y_embed[..., None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])],
+                      axis=-1).reshape(*pos_x.shape[:-1], -1)
+    pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])],
+                      axis=-1).reshape(*pos_y.shape[:-1], -1)
+    return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
 class PatchMerging(nn.Module):
     """Multi-kernel stride-2 reduction neck (ref: src/models/backbone.py:18-67).
 

@@ -1,12 +1,14 @@
 """Training runtime: losses, sharded train step, checkpointing, validation."""
-from .losses import oetr_losses, total_loss
+from .losses import (cycle_overlap_loss, interpolate_depth, oetr_losses,
+                     total_loss, warped_box_via_depth)
 from .train import (TrainState, create_train_state, load_checkpoint,
                     make_optimizer, make_train_step, multistep_schedule,
-                    save_checkpoint)
+                    save_checkpoint, shard_train_state)
 from .validation import evaluate
 
 __all__ = [
-    "oetr_losses", "total_loss", "TrainState", "create_train_state",
+    "cycle_overlap_loss", "interpolate_depth", "oetr_losses", "total_loss",
+    "warped_box_via_depth", "TrainState", "create_train_state",
     "load_checkpoint", "make_optimizer", "make_train_step",
-    "multistep_schedule", "save_checkpoint", "evaluate",
+    "multistep_schedule", "save_checkpoint", "shard_train_state", "evaluate",
 ]

@@ -39,7 +39,14 @@ def main(argv=None):
     ap.add_argument("--pairs_per_epoch", type=int, default=128_000)
     ap.add_argument("--save_path", default="checkpoints")
     ap.add_argument("--cycle", action="store_true")
+    ap.add_argument("--full_cycle", action="store_true",
+                    help="depth-warped CycleOverlapLoss "
+                         "(ref src/losses/losses.py:246-520)")
     ap.add_argument("--oiou", action="store_true")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel mesh axis size ('model')")
+    ap.add_argument("--fsdp", type=int, default=1,
+                    help="FSDP mesh axis size for non-TP params")
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--tensorboard", default=None,
                     help="scalar log dir (loss_info parity, "
@@ -66,14 +73,25 @@ def main(argv=None):
                                             image_size=hw, train=False)
 
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
-    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    if args.tp * args.fsdp > 1:
+        mesh = make_mesh({"data": n_dev // (args.tp * args.fsdp),
+                          "model": args.tp, "fsdp": args.fsdp})
+    else:
+        mesh = make_mesh()
     log.info("devices: %s, mesh: %s", jax.devices(), mesh)
 
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.key(train_cfg.seed),
                                           hw, steps_per_epoch)
+    state_sh = None
+    if args.tp * args.fsdp > 1:
+        from .train import shard_train_state
+        state, state_sh = shard_train_state(
+            state, mesh, fsdp_axis="fsdp" if args.fsdp > 1 else None)
     step_fn = make_train_step(model, tx, mesh=mesh, cycle=args.cycle,
-                              oiou=args.oiou)
+                              oiou=args.oiou, state_shardings=state_sh,
+                              full_cycle=args.full_cycle)
 
     writer = None
     if args.tensorboard:
@@ -84,7 +102,9 @@ def main(argv=None):
     for epoch in range(args.epochs):
         dataset.build_dataset()            # re-sample pairs (ref train.py:102)
         t0 = time.time()
-        for it, batch in enumerate(dataset.batches(args.batch_size)):
+        for it, batch in enumerate(
+                dataset.batches(args.batch_size,
+                                geometry=args.full_cycle)):
             rng, drop = jax.random.split(rng)
             state, metrics = step_fn(state, shard_batch(batch, mesh), drop)
             if it % args.log_every == 0:

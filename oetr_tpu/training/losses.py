@@ -96,3 +96,119 @@ def oetr_losses(outputs: dict, gt_bbox1: Array, gt_bbox2: Array,
 def total_loss(loss_dict: dict) -> Array:
     """Sum of every entry whose key contains "loss" (ref: train.py:118-119)."""
     return sum(v for k, v in loss_dict.items() if "loss" in k)
+
+
+# ---------------------------------------------------------------------------
+# Full depth-warped cycle-consistency loss (CycleOverlapLoss)
+# ---------------------------------------------------------------------------
+
+
+def interpolate_depth(depth: Array, uv: Array):
+    """Bilinear depth interpolation with 4-corner validity.
+
+    Dense, static-shaped reformulation of the reference's
+    ``CycleOverlapLoss.interpolate_depth`` (src/losses/losses.py:271-360):
+    a sample is valid only when all four surrounding depth pixels are > 0
+    and the point is in bounds.
+
+    Args:
+      depth: [H, W].
+      uv: [..., 2] (x, y) sample coordinates.
+    Returns:
+      (z [...], valid [...] bool).
+    """
+    h, w = depth.shape
+    x, y = uv[..., 0], uv[..., 1]
+    in_bounds = (x >= 0) & (y >= 0) & (x <= w - 1) & (y <= h - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    xi0, yi0 = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    xi1, yi1 = x1.astype(jnp.int32), y1.astype(jnp.int32)
+    d00 = depth[yi0, xi0]
+    d01 = depth[yi0, xi1]
+    d10 = depth[yi1, xi0]
+    d11 = depth[yi1, xi1]
+    valid = in_bounds & (d00 > 0) & (d01 > 0) & (d10 > 0) & (d11 > 0)
+    wx = x - x0
+    wy = y - y0
+    z = ((1 - wy) * ((1 - wx) * d00 + wx * d01)
+         + wy * ((1 - wx) * d10 + wx * d11))
+    return z, valid
+
+
+def warped_box_via_depth(box1: Array, K1: Array, depth1: Array, T1: Array,
+                         crop1: Array, ratio1: Array, K2: Array,
+                         depth2: Array, T2: Array, crop2: Array,
+                         ratio2: Array, occlusion_thresh: float = 1.0):
+    """Project the valid-depth pixels inside ``box1`` into image2 and bound
+    the surviving cloud — the geometric half of CycleOverlapLoss
+    (src/losses/losses.py:250-471: depth_box_filter + warp + bounding).
+
+    Dense/masked instead of gather-based: every pixel of depth1 is warped
+    (geometry.overlap.warp_grid_via_depth), then masked by box membership,
+    depth validity, bilinear occlusion check |z_est - z2| < 1.0
+    (losses.py:446; NB the dataset GT uses 0.5) and in-bounds.
+
+    Returns (box2_warped [4] xyxy float, valid [] bool).
+    """
+    from ..geometry.overlap import warp_grid_via_depth
+
+    h1, w1 = depth1.shape
+    h2, w2 = depth2.shape
+    uv2, z2_est, has_depth = warp_grid_via_depth(
+        K1, depth1, T1, crop1, ratio1, K2, T2, crop2, ratio2)
+
+    v1 = jnp.arange(h1, dtype=jnp.float32)[:, None]
+    u1 = jnp.arange(w1, dtype=jnp.float32)[None, :]
+    inside = ((u1 >= box1[0]) & (u1 <= box1[2])
+              & (v1 >= box1[1]) & (v1 <= box1[3]))
+
+    z2_interp, interp_valid = interpolate_depth(depth2, uv2)
+    not_occluded = jnp.abs(z2_est - z2_interp) < occlusion_thresh
+    in_bounds = ((uv2[..., 0] >= 0) & (uv2[..., 0] <= w2 - 1)
+                 & (uv2[..., 1] >= 0) & (uv2[..., 1] <= h2 - 1))
+    m = inside & has_depth & interp_valid & in_bounds & not_occluded
+    any_valid = jnp.any(m)
+
+    big = jnp.float32(1e9)
+    x_min = jnp.min(jnp.where(m, uv2[..., 0], big))
+    y_min = jnp.min(jnp.where(m, uv2[..., 1], big))
+    x_max = jnp.max(jnp.where(m, uv2[..., 0], -big))
+    y_max = jnp.max(jnp.where(m, uv2[..., 1], -big))
+    box = jnp.stack([x_min, y_min, x_max, y_max])
+    box = jnp.where(any_valid, box, jnp.zeros((4,), jnp.float32))
+    return box, any_valid
+
+
+def cycle_overlap_loss(pred_bbox1: Array, pred_bbox2: Array, K1: Array,
+                       depth1: Array, T1: Array, crop1: Array, ratio1: Array,
+                       K2: Array, depth2: Array, T2: Array, crop2: Array,
+                       ratio2: Array, valid: Array,
+                       occlusion_thresh: float = 1.0) -> Array:
+    """Symmetric depth-warped cycle GIoU loss (CycleOverlapLoss.forward,
+    src/losses/losses.py:473-520): warp pred box1's covisible cloud into
+    image2, GIoU(pred box2, warped box), and vice versa; averaged.
+
+    All geometry inputs are batched [B, ...]; ``valid`` is the per-pair
+    ``overlap_valid`` flag. The warped target box is a constant w.r.t.
+    gradients (stop_gradient), matching the reference where the target is
+    produced by non-differentiable index filtering.
+    """
+    import jax
+
+    from ..geometry.boxes import giou_loss
+
+    def one_way(box_a, Ka, da, Ta, ca, ra, box_b, Kb, db, Tb, cb, rb):
+        wbox, ok = warped_box_via_depth(
+            jax.lax.stop_gradient(box_a), Ka, da, Ta, ca, ra,
+            Kb, db, Tb, cb, rb, occlusion_thresh)
+        return giou_loss(box_b, jax.lax.stop_gradient(wbox)), ok
+
+    l12, ok12 = jax.vmap(one_way)(pred_bbox1, K1, depth1, T1, crop1, ratio1,
+                                  pred_bbox2, K2, depth2, T2, crop2, ratio2)
+    l21, ok21 = jax.vmap(one_way)(pred_bbox2, K2, depth2, T2, crop2, ratio2,
+                                  pred_bbox1, K1, depth1, T1, crop1, ratio1)
+    ok = valid & ok12 & ok21
+    return _masked_mean((l12 + l21) / 2.0, ok)

@@ -52,7 +52,9 @@ def create_train_state(model_cfg: OETRConfig, train_cfg: TrainConfig,
     model = build_oetr(model_cfg)
     h, w = image_hw
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-    params = model.init(rng, dummy, dummy)
+    # jit: a single XLA compile instead of per-primitive eager dispatch
+    # (the axon TPU remote-compile path costs ~1s per op).
+    params = jax.jit(model.init)(rng, dummy, dummy)
     tx = make_optimizer(train_cfg, steps_per_epoch)
     opt_state = tx.init(params)
     return model, TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -60,11 +62,14 @@ def create_train_state(model_cfg: OETRConfig, train_cfg: TrainConfig,
 
 
 def loss_fn(model: OETR, params, batch: dict, dropout_rng, cycle: bool,
-            oiou: bool):
+            oiou: bool, full_cycle: bool = False):
     """Forward + loss on one (sharded) batch.
 
     batch keys: image1/image2 [B,H,W,3], overlap_box1/2 [B,4],
     overlap_valid [B] bool, optional mask1/mask2 (feature-res validity).
+    ``full_cycle`` adds the depth-warped CycleOverlapLoss (needs K1/K2,
+    depth1/depth2, pose1/pose2, crop1/crop2, ratio1/ratio2 in the batch —
+    ref: src/losses/losses.py:246-520, enabled by LOSS.CYCLE_OVERLAP).
     """
     h1, w1 = batch["image1"].shape[1:3]
     h2, w2 = batch["image2"].shape[1:3]
@@ -75,22 +80,38 @@ def loss_fn(model: OETR, params, batch: dict, dropout_rng, cycle: bool,
     losses = oetr_losses(out, batch["overlap_box1"], batch["overlap_box2"],
                          batch["overlap_valid"], (h1, w1), (h2, w2),
                          oiou=oiou)
+    if full_cycle:
+        from .losses import cycle_overlap_loss
+        losses["cycle_overlap_loss"] = cycle_overlap_loss(
+            out["pred_bbox1"], out["pred_bbox2"],
+            batch["K1"], batch["depth1"], batch["pose1"],
+            batch["crop1"], batch["ratio1"],
+            batch["K2"], batch["depth2"], batch["pose2"],
+            batch["crop2"], batch["ratio2"], batch["overlap_valid"])
     return total_loss(losses), losses
 
 
 def make_train_step(model: OETR, tx, mesh: Mesh | None = None,
                     data_axis: str = "data", cycle: bool = False,
-                    oiou: bool = False):
+                    oiou: bool = False, state_shardings=None,
+                    full_cycle: bool = False):
     """Build the jitted train step.
 
     With a mesh, inputs get NamedSharding constraints: batch split on the
     data axis, params/opt state replicated — XLA turns the gradient sum
     into a psum over ICI (replacing DDP's bucket all-reduce,
     train.py:73-74).
+
+    ``state_shardings`` (a TrainState pytree of NamedShardings, e.g. from
+    :func:`shard_train_state`) switches pure-DP replication to real
+    tensor-parallel/FSDP layouts: Megatron column/row splits on the
+    transformer (parallel.OETR_PARTITION_RULES) and ZeRO-style parameter
+    sharding for the rest; XLA inserts the all-gathers/reduce-scatters.
     """
     def step_fn(state: TrainState, batch: dict, dropout_rng):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: loss_fn(model, p, batch, dropout_rng, cycle, oiou),
+            lambda p: loss_fn(model, p, batch, dropout_rng, cycle, oiou,
+                              full_cycle),
             has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -103,13 +124,36 @@ def make_train_step(model: OETR, tx, mesh: Mesh | None = None,
 
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P(data_axis))
-    # Prefix pytrees: replicate the whole state, shard every batch leaf on
-    # its leading (batch) dim, replicate the rng key.
+    state_sh = state_shardings if state_shardings is not None else repl
+    # Prefix pytrees: state shardings per-leaf (or replicated), every batch
+    # leaf sharded on its leading (batch) dim, rng key replicated.
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data_sh, repl),
+        in_shardings=(state_sh, data_sh, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
+
+
+def shard_train_state(state: TrainState, mesh: Mesh, rules=None,
+                      fsdp_axis: str | None = None):
+    """(sharded_state, sharding_pytree) for TP/FSDP training.
+
+    Params and adam mu/nu get per-leaf NamedShardings from the partition
+    rules (parallel/mesh.py); scalar counters/step replicate. The returned
+    sharding pytree plugs straight into ``make_train_step(...,
+    state_shardings=...)``.
+    """
+    from ..parallel.mesh import param_shardings
+
+    shardings = TrainState(
+        step=NamedSharding(mesh, P()),
+        params=param_shardings(state.params, mesh, rules, fsdp_axis),
+        opt_state=param_shardings(state.opt_state, mesh, rules, fsdp_axis),
+    )
+    sharded = jax.tree.map(jax.device_put, state, shardings,
+                           is_leaf=lambda x: x is None)
+    return sharded, shardings
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None):

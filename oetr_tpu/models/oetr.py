@@ -105,7 +105,7 @@ class PatchMerging(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         outs = []
         n = len(self.patch_sizes)
         for i, ps in enumerate(self.patch_sizes):
@@ -133,7 +133,7 @@ class PatchEmbed(nn.Module):
         x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps),
                     dtype=self.dtype, name="proj")(x)
         if self.use_norm:
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return x
 
 
@@ -212,7 +212,7 @@ class OETR(nn.Module):
 
         heatmap_conv = nn.Sequential([
             nn.Conv(d, (3, 3), padding=1, dtype=dtype, name="hm_conv1"),
-            nn.GroupNorm(num_groups=32, dtype=dtype, name="hm_gn"),
+            nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype, name="hm_gn"),
             nn.relu,
             nn.Conv(1, (1, 1), dtype=dtype, name="hm_conv2"),
         ], name="heatmap_conv")

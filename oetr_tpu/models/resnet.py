@@ -28,11 +28,40 @@ RESNET_SPECS = {
 }
 
 
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm: y = (x - mean) / sqrt(var + eps) * scale + bias.
+
+    Exists for loading reference checkpoints (the torchvision backbone is
+    BatchNorm, /root/reference/src/models/backbone.py:145); all four
+    tensors are plain params set by interop.torch_convert from the torch
+    module's weight/bias/running_mean/running_var. Not meant for training
+    (no stat updates) — train with GroupNorm instead.
+    """
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (c,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (c,), jnp.float32)
+        inv = (scale / jnp.sqrt(var + self.epsilon)).astype(self.dtype)
+        shift = (bias - mean * scale / jnp.sqrt(var + self.epsilon)).astype(
+            self.dtype)
+        return x.astype(self.dtype) * inv + shift
+
+
 def _norm(name: str, dtype: Any):
+    # epsilon 1e-5 matches torch.nn.{GroupNorm,LayerNorm,BatchNorm2d}
+    # defaults so converted reference checkpoints are numerically exact.
     if name == "gn":
-        return lambda: nn.GroupNorm(num_groups=32, dtype=dtype)
+        return lambda: nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype)
     if name == "ln":
-        return lambda: nn.LayerNorm(dtype=dtype)
+        return lambda: nn.LayerNorm(epsilon=1e-5, dtype=dtype)
+    if name == "bn":
+        return lambda: FrozenBatchNorm(dtype=dtype)
     raise ValueError(f"unknown norm {name!r}")
 
 

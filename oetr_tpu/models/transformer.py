@@ -58,8 +58,8 @@ class EncoderLayer(nn.Module):
                  s_pos: Array | None = None) -> Array:
         b, n, _ = x.shape
         head_dim = self.d_model // self.nhead
-        query = nn.LayerNorm(dtype=self.dtype, name="pre_norm_q")(x)
-        kv = nn.LayerNorm(dtype=self.dtype, name="pre_norm_kv")(source)
+        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm_q")(x)
+        kv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm_kv")(source)
         key = value = kv
         if x_pos is not None:
             query = query + x_pos
@@ -75,7 +75,7 @@ class EncoderLayer(nn.Module):
         message = dense("merge")(message.reshape(b, n, self.d_model))
 
         x = x + message
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(self.d_model * 2, use_bias=False, dtype=self.dtype)(y)
         y = nn.gelu(y)
         y = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype)(y)
@@ -123,13 +123,13 @@ class DecoderLayer(nn.Module):
                  deterministic: bool = True) -> Array:
         drop = lambda z: nn.Dropout(self.dropout, deterministic=deterministic)(z)
 
-        tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
         qk = tgt2 if tgt_pos is None else tgt2 + tgt_pos
         tgt2 = MultiHeadAttention(self.d_model, self.nhead, self.attention,
                                   self.dtype, name="self_attn")(qk, qk, tgt2)
         tgt = tgt + drop(tgt2)
 
-        tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+        tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
         q = tgt2 if tgt_pos is None else tgt2 + tgt_pos
         k = memory if m_pos is None else memory + m_pos
         tgt2 = MultiHeadAttention(self.d_model, self.nhead, self.attention,
@@ -137,7 +137,7 @@ class DecoderLayer(nn.Module):
             q, k, memory, kv_mask=memory_mask)
         tgt = tgt + drop(tgt2)
 
-        tgt2 = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        tgt2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
         tgt2 = nn.Dense(self.d_model * 2, use_bias=False, dtype=self.dtype)(tgt2)
         tgt2 = nn.relu(tgt2)
         tgt2 = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype)(tgt2)

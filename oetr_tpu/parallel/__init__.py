@@ -1,7 +1,11 @@
-"""Parallelism layer: mesh construction, shardings, ring attention."""
+"""Parallelism layer: mesh construction, shardings, multihost, ring attention."""
 from .mesh import (OETR_PARTITION_RULES, data_sharding, make_mesh,
                    param_shardings, replicated, shard_batch)
+from .multihost import (initialize_distributed, make_global_mesh,
+                        shard_batch_global)
 from .ring_attention import ring_attention
 
 __all__ = ["OETR_PARTITION_RULES", "data_sharding", "make_mesh",
-           "param_shardings", "replicated", "shard_batch", "ring_attention"]
+           "param_shardings", "replicated", "shard_batch", "ring_attention",
+           "initialize_distributed", "make_global_mesh",
+           "shard_batch_global"]

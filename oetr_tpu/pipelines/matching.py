@@ -253,6 +253,7 @@ class DensePipeline:
             "mkpts0": mk0, "mkpts1": mk1, "conf": m["conf"],
             "valid": m["valid"], "bbox0": bbox0, "bbox1": bbox1,
             "ratio0": ratio0, "ratio1": ratio1, "used_overlap": used,
+            "num_matches": jnp.sum(m["valid"], axis=-1),
         }
 
     def __call__(self, image0, image1, full_hw0, full_hw1,
@@ -264,5 +265,28 @@ class DensePipeline:
             s = jnp.ones((image0.shape[0], 2), jnp.float32)
             return self._jit_plain(image0, image1, full_hw0, full_hw1,
                                    z, z, s, s)
-        return self._jit_run(image0, image1, full_hw0, full_hw1,
-                             oetr_img0, oetr_img1, scales0, scales1)
+        out = self._jit_run(image0, image1, full_hw0, full_hw1,
+                            oetr_img0, oetr_img1, scales0, scales1)
+
+        # Fallback rule 2, dense variant: the reference applies the
+        # "< 30 matches -> re-run without overlap" retry to ALL matchers
+        # (overlap_features.py:215-244), not just sparse ones.
+        n = np.asarray(out["num_matches"])
+        need_retry = (n < self.cfg.fallback_min_matches) & np.asarray(
+            out["used_overlap"])
+        if need_retry.any():
+            z = jnp.zeros((image0.shape[0], 1, 1, 3), jnp.float32)
+            s = jnp.ones((image0.shape[0], 2), jnp.float32)
+            plain = self._jit_plain(image0, image1, full_hw0, full_hw1,
+                                    z, z, s, s)
+            sel = jnp.asarray(need_retry)
+
+            def pick(a, b):
+                if a is None:
+                    return None
+                extra = (1,) * (a.ndim - 1)
+                return jnp.where(sel.reshape(-1, *extra), b, a)
+
+            out = jax.tree.map(pick, out, plain)
+            out["used_overlap"] = out["used_overlap"] & (~sel)
+        return out

@@ -69,7 +69,8 @@ def _huber_weights(r: Array, delta: float) -> Array:
     return jnp.sqrt(w)
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "axis_name"))
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "axis_name",
+                                   "huber_delta", "damping"))
 def bundle_adjust(cams0: Array, pts0: Array, K: Array, obs_cam: Array,
                   obs_pt: Array, obs_uv: Array, valid: Array,
                   update_mask: Array | None = None,
@@ -203,10 +204,13 @@ def bundle_adjust(cams0: Array, pts0: Array, K: Array, obs_cam: Array,
                           axis * 0.5)
             return jnp.concatenate([w, c[3:] + d[3:]])
 
+        # Pin the carry dtype (under x64 a float64 constant upstream
+        # would silently widen the scan carry and break tracing).
         cams_new = jax.vmap(apply_cam)(cams, dc * update_mask)
-        pts_new = pts + dp
+        cams_new = cams_new.astype(cams0.dtype)
+        pts_new = (pts + dp).astype(pts0.dtype)
 
-        new_cost = cost(cams_new, pts_new)
+        new_cost = cost(cams_new, pts_new).astype(prev_cost.dtype)
         accept = new_cost < prev_cost
         cams = jnp.where(accept, cams_new, cams)
         pts = jnp.where(accept, pts_new, pts)
@@ -214,9 +218,10 @@ def bundle_adjust(cams0: Array, pts0: Array, K: Array, obs_cam: Array,
         cur = jnp.where(accept, new_cost, prev_cost)
         return (cams, pts, lam, cur), cur
 
-    c0 = cost(cams0, pts0)
+    c0 = cost(cams0, pts0).astype(cams0.dtype)
     (cams, pts, _, final_cost), hist = jax.lax.scan(
-        lm_step, (cams0, pts0, jnp.asarray(damping), c0), None, length=iters)
+        lm_step, (cams0, pts0, jnp.asarray(damping, cams0.dtype), c0), None,
+        length=iters)
     return {"cams": cams, "pts": pts, "cost0": c0, "cost": final_cost,
             "cost_history": jnp.concatenate([c0[None], hist])}
 

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..config import OETRConfig, TrainConfig
 from ..data.megadepth import MegaDepthPairsDataset
-from ..parallel import make_mesh, shard_batch
+from ..parallel import make_mesh
 from .train import create_train_state, make_train_step, save_checkpoint
 from .validation import evaluate
 
@@ -51,7 +51,21 @@ def main(argv=None):
     ap.add_argument("--tensorboard", default=None,
                     help="scalar log dir (loss_info parity, "
                          "ref src/utils/utils.py:179)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in --save_path "
+                         "(full state: params + optimizer + step — the "
+                         "resume the reference lacks, train.py:192-194)")
+    # Multi-host flags (replace torch.distributed.launch + NCCL env://
+    # rendezvous, ref train.py:60); all default from JAX_* env vars.
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (multi-host only)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    from ..parallel import initialize_distributed, shard_batch_global
+    initialize_distributed(args.coordinator, args.num_processes,
+                           args.process_id)
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
@@ -73,13 +87,14 @@ def main(argv=None):
                                             image_size=hw, train=False)
 
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
-    n_dev = len(jax.devices())
+    n_dev = len(jax.devices())   # GLOBAL device count (all hosts)
     if args.tp * args.fsdp > 1:
         mesh = make_mesh({"data": n_dev // (args.tp * args.fsdp),
                           "model": args.tp, "fsdp": args.fsdp})
     else:
         mesh = make_mesh()
-    log.info("devices: %s, mesh: %s", jax.devices(), mesh)
+    log.info("process %d/%d, %d global devices, mesh: %s",
+             jax.process_index(), jax.process_count(), n_dev, mesh)
 
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.key(train_cfg.seed),
@@ -93,20 +108,38 @@ def main(argv=None):
                               oiou=args.oiou, state_shardings=state_sh,
                               full_cycle=args.full_cycle)
 
+    start_epoch = 0
+    if args.resume:
+        from .train import latest_checkpoint_step, load_checkpoint
+        last = latest_checkpoint_step(args.save_path)
+        if last is not None:
+            state = load_checkpoint(args.save_path, last, state)
+            start_epoch = int(state.step) // steps_per_epoch
+            log.info("resumed from step %d (epoch %d)", last, start_epoch)
+        else:
+            log.info("--resume: no checkpoint under %s, starting fresh",
+                     args.save_path)
+
     writer = None
     if args.tensorboard:
         from ..utils.profiling import ScalarWriter
         writer = ScalarWriter(args.tensorboard)
 
     rng = jax.random.key(train_cfg.seed + 1)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         dataset.build_dataset()            # re-sample pairs (ref train.py:102)
         t0 = time.time()
         for it, batch in enumerate(
                 dataset.batches(args.batch_size,
                                 geometry=args.full_cycle)):
+            # DistributedSampler parity (ref train.py:104-105): each
+            # process keeps every P-th batch as its LOCAL shard; the
+            # global batch assembled below is P x batch_size.
+            if it % jax.process_count() != jax.process_index():
+                continue
             rng, drop = jax.random.split(rng)
-            state, metrics = step_fn(state, shard_batch(batch, mesh), drop)
+            state, metrics = step_fn(state, shard_batch_global(batch, mesh),
+                                     drop)
             if it % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 log.info("epoch %d it %d loss %.4f iou %.3f/%.3f (%.1f s)",

@@ -169,3 +169,15 @@ def load_checkpoint(ckpt_dir: str, step: int, target: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(f"{ckpt_dir}/step_{step}", target)
+
+
+def latest_checkpoint_step(ckpt_dir: str) -> int | None:
+    """Largest step_N under ckpt_dir, or None (drives the CLI --resume)."""
+    import os
+    try:
+        steps = [int(d.removeprefix("step_")) for d in os.listdir(ckpt_dir)
+                 if d.startswith("step_")
+                 and d.removeprefix("step_").isdigit()]
+    except FileNotFoundError:
+        return None
+    return max(steps, default=None)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from oetr_tpu.models.cotr import COTR, cotr_match, make_composite
 
@@ -11,6 +12,7 @@ def _tiny_cotr():
                 backbone_depth=18)
 
 
+@pytest.mark.slow
 def test_cotr_forward_shapes(rng):
     model = _tiny_cotr()
     comp = jnp.asarray(rng.uniform(0, 1, (1, 64, 128, 3)).astype(np.float32))
@@ -36,6 +38,7 @@ def test_cotr_match_contract(rng):
     assert np.all(np.isfinite(np.asarray(out["cycle_error"])))
 
 
+@pytest.mark.slow
 def test_cotr_grad(rng):
     model = _tiny_cotr()
     comp = jnp.asarray(rng.uniform(0, 1, (1, 32, 64, 3)).astype(np.float32))

@@ -9,6 +9,7 @@ boundary flips (see .claude/skills/verify gotchas).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from oetr_tpu.training import (cycle_overlap_loss, interpolate_depth,
                                warped_box_via_depth)
@@ -76,6 +77,7 @@ def test_cycle_loss_zero_when_consistent():
     assert float(loss_masked) == 0.0
 
 
+@pytest.mark.slow
 def test_full_cycle_train_step():
     """make_train_step(full_cycle=True) runs end-to-end on a geometry batch."""
     import optax

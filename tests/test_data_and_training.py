@@ -112,6 +112,7 @@ def test_multistep_schedule():
     assert abs(float(sched(45)) - 1e-6) < 1e-12
 
 
+@pytest.mark.slow
 def test_train_step_and_validation(rng):
     model_cfg = OETRConfig(
         backbone=BackboneConfig(depth=18, stop_layer="layer3", last_layer=256),
@@ -144,6 +145,7 @@ def test_train_step_and_validation(rng):
     assert 0.0 <= stats["R0.5"] <= 1.0
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, rng):
     from oetr_tpu.training import load_checkpoint, save_checkpoint
     model_cfg = OETRConfig(
@@ -160,3 +162,14 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
     assert int(restored.step) == int(state.step)
+
+
+def test_latest_checkpoint_step(tmp_path):
+    """Drives the CLI --resume flow (the resume the reference lacks,
+    /root/reference/train.py:192-194 saves weights only)."""
+    from oetr_tpu.training.train import latest_checkpoint_step
+    assert latest_checkpoint_step(str(tmp_path / "nope")) is None
+    (tmp_path / "step_3").mkdir()
+    (tmp_path / "step_12").mkdir()
+    (tmp_path / "not_a_ckpt").mkdir()
+    assert latest_checkpoint_step(str(tmp_path)) == 12

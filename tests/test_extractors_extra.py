@@ -21,6 +21,7 @@ def _check_extractor_output(out, k, d, hw):
     np.testing.assert_allclose(np.linalg.norm(desc, axis=-1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_disk(rng):
     model = DISK(max_keypoints=64)
     img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
@@ -29,6 +30,7 @@ def test_disk(rng):
     _check_extractor_output(out, 64, 128, (64, 64))
 
 
+@pytest.mark.slow
 def test_d2net(rng):
     model = D2Net(max_keypoints=32)
     img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))

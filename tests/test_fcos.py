@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from oetr_tpu.geometry.boxes import compute_locations
 from oetr_tpu.models.fcos import (FCOSHead, Scale, compute_centerness_targets,
@@ -66,6 +67,7 @@ def test_fcos_targets_center_sampling():
     assert float(jnp.min(reg)) > 0
 
 
+@pytest.mark.slow
 def test_fcos_losses_local_and_psum(rng):
     locs = compute_locations(4, 4, stride=16)
     b = 8

@@ -51,6 +51,7 @@ def test_nn_matcher_masks(rng):
     np.testing.assert_array_equal(m[0, :10], np.arange(10))
 
 
+@pytest.mark.slow
 def test_superglue_identity(rng):
     k = 24
     kpts = rng.uniform(10, 100, (1, k, 2)).astype(np.float32)
@@ -104,6 +105,7 @@ def test_superglue_padding(rng):
     assert (m[0] < 12).all()             # nothing matches into padding
 
 
+@pytest.mark.slow
 def test_loftr_identity_pair(rng):
     img = rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32)
     model = LoFTR(d_coarse=64, d_fine=32, coarse_layers=1, fine_layers=1,

@@ -76,6 +76,7 @@ def test_cycle_outputs(tiny_model_and_params):
     assert "cycle_center1" in out and out["cycle_center1"].shape == (1, 2)
 
 
+@pytest.mark.slow
 def test_gradients_flow(tiny_cfg, tiny_model_and_params):
     model, params = tiny_model_and_params
     img = jnp.ones((1, 128, 128, 3), jnp.float32) * 0.4
@@ -100,6 +101,7 @@ def test_position_encoding_shapes():
     assert float(jnp.abs(pe - pe_fixed).max()) > 0.1
 
 
+@pytest.mark.slow
 def test_non_square_inputs(tiny_model_and_params):
     model, params = tiny_model_and_params
     img1 = jnp.ones((1, 96, 128, 3), jnp.float32) * 0.5

@@ -47,6 +47,7 @@ def test_plain_pipeline_identity_pair(pipeline, rng):
     assert np.median(err) < 1.0
 
 
+@pytest.mark.slow
 def test_overlap_pipeline_with_oetr(pipeline, rng):
     cfg = OETRConfig(
         backbone=BackboneConfig(depth=18, stop_layer="layer3", last_layer=256),

@@ -19,6 +19,8 @@ from oetr_tpu.parallel import (OETR_PARTITION_RULES, make_mesh,
 from oetr_tpu.training import (create_train_state, make_train_step,
                                shard_train_state)
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_setup(batch=8, hw=48):
     model_cfg = OETRConfig(

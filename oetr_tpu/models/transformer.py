@@ -20,18 +20,49 @@ Array = jnp.ndarray
 
 
 def _attend(kind: str, q, k, v, q_mask, kv_mask, use_pallas: bool = False):
-    """Dispatch to the XLA reference ops or the fused Pallas TPU kernels
-    (ops/pallas_attention.py). ``kind``: 'linear' | 'full'; append
-    ':pallas' (or pass use_pallas=True) for the fused path."""
+    """Dispatch the attention primitive. ``kind``:
+      'linear' | 'full'              — XLA reference ops (ops/attention.py)
+      'linear:pallas' | 'full:pallas' — fused VMEM-resident TPU kernels
+      'full:flash'                   — streaming KV-blocked Pallas kernel
+                                       (long sequences, stride-16 maps)
+      'full:ring'                    — sequence-parallel ring attention;
+                                       requires parallel.ring_context(mesh)
+                                       around the call (trace time).
+    """
+    import jax
+
+    # Pallas kernels compile only for TPU; on the CPU test backend they
+    # run interpreted so every config stays testable without hardware.
+    interpret = jax.default_backend() == "cpu"
     if kind.endswith(":pallas"):
         kind = kind.split(":")[0]
         use_pallas = True
+    if kind == "full:flash":
+        from ..ops.pallas_attention import flash_attention_pallas
+        return flash_attention_pallas(q, k, v, q_mask, kv_mask,
+                                      interpret=interpret)
+    if kind == "full:ring":
+        from ..parallel.ring_attention import (current_ring_context,
+                                               ring_attention)
+        ctx = current_ring_context()
+        if ctx is None:
+            raise ValueError("attention='full:ring' requires wrapping the "
+                             "forward in parallel.ring_context(mesh, axis)")
+        mesh, axis = ctx
+        if k.shape[1] % mesh.shape[axis] != 0:
+            # Short K/V (e.g. the decoder's single learned query) can't
+            # shard over the ring — plain attention is also cheaper there.
+            return full_attention(q, k, v, q_mask, kv_mask)
+        out = ring_attention(q, k, v, mesh, axis, kv_mask=kv_mask)
+        if q_mask is not None:
+            out = out * q_mask[:, :, None, None].astype(out.dtype)
+        return out
     if use_pallas:
         from ..ops.pallas_attention import (full_attention_pallas,
                                             linear_attention_pallas)
         fn = (linear_attention_pallas if kind == "linear"
               else full_attention_pallas)
-        return fn(q, k, v, q_mask, kv_mask)
+        return fn(q, k, v, q_mask, kv_mask, interpret=interpret)
     if kind == "linear":
         return linear_attention(q, k, v, q_mask, kv_mask)
     if kind == "full":

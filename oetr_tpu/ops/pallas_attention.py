@@ -168,8 +168,8 @@ def full_attention_pallas(q: Array, k: Array, v: Array,
     """Fused softmax attention. Same contract as ops.attention.full_attention.
 
     Whole-row softmax in VMEM — valid for S up to ~4k tokens; the
-    stride-16 full-resolution regime (~15k tokens) should use a streaming
-    flash variant (XLA fallback today).
+    stride-16 full-resolution regime (~15k tokens) uses the streaming
+    ``flash_attention_pallas`` below.
     """
     b, l, h, d = q.shape
     s = k.shape[1]
@@ -182,3 +182,132 @@ def full_attention_pallas(q: Array, k: Array, v: Array,
     return _call_attention(
         functools.partial(_full_attn_kernel, nhead=h),
         q, k, v, qm, km, "row", interpret, cost)
+
+
+def _flash_attn_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref,
+                       acc_ref, max_ref, sum_ref, *, nhead: int,
+                       n_kv: int):
+    """Streaming (KV-blocked) softmax attention — one (batch, q-block)
+    output tile, revisited across the kv grid dimension with online
+    softmax accumulation in VMEM scratch.
+
+    Blocks: q [1, BQ, H*D]; k, v [1, BK, H*D]; qm [1, BQ, 1];
+    km [1, 1, BK]; out [1, BQ, H*D]. Scratch: acc [BQ, H*D] f32,
+    max/sum [BQ, H] f32.
+    """
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        max_ref[:] = jnp.full_like(max_ref, -jnp.inf)
+        sum_ref[:] = jnp.zeros_like(sum_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    pair = (qm_ref[0] > 0) & (km_ref[0] > 0)        # [BQ, BK]
+
+    d = q.shape[-1] // nhead
+    temp = 1.0 / (d ** 0.5)
+    for h in range(nhead):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jnp.dot(q[:, sl], k[:, sl].T,
+                         preferred_element_type=jnp.float32) * temp
+        logits = jnp.where(pair, logits, -jnp.inf)
+
+        prev_max = max_ref[:, h:h + 1]               # [BQ, 1]
+        blk_max = jnp.max(logits, axis=1, keepdims=True)
+        new_max = jnp.maximum(prev_max, blk_max)
+        safe_max = jnp.where(jnp.isfinite(new_max), new_max, 0.0)
+        corr = jnp.exp(prev_max - safe_max)
+        corr = jnp.where(jnp.isfinite(prev_max), corr, 0.0)   # [BQ, 1]
+
+        p = jnp.exp(logits - safe_max)
+        p = jnp.where(pair, p, 0.0)                  # [BQ, BK] f32
+
+        acc_ref[:, sl] = (acc_ref[:, sl] * corr +
+                          jnp.dot(p.astype(v.dtype), v[:, sl],
+                                  preferred_element_type=jnp.float32))
+        sum_ref[:, h:h + 1] = (sum_ref[:, h:h + 1] * corr +
+                               jnp.sum(p, axis=1, keepdims=True))
+        max_ref[:, h:h + 1] = new_max
+
+    @pl.when(ik == n_kv - 1)
+    def _final():
+        for h in range(nhead):
+            sl = slice(h * d, (h + 1) * d)
+            denom = jnp.maximum(sum_ref[:, h:h + 1], 1e-30)
+            o_ref[0, :, sl] = (acc_ref[:, sl] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
+                                             "interpret"))
+def flash_attention_pallas(q: Array, k: Array, v: Array,
+                           q_mask: Array | None = None,
+                           kv_mask: Array | None = None,
+                           block_q: int = 512, block_k: int = 512,
+                           interpret: bool = False) -> Array:
+    """Streaming flash attention for long sequences (stride-16 maps,
+    ~15k tokens — SURVEY.md §2.7's SP/long-context regime).
+
+    Same contract as ops.attention.full_attention but VMEM holds only
+    [block_q x block_k] logit tiles; sequence length is bounded by HBM,
+    not VMEM. L and S are padded to the block sizes internally (padding
+    rides the masks, so numerics match the unpadded oracle).
+    """
+    b, l, h, d = q.shape
+    s = k.shape[1]
+    qm, km = _prep_masks(q, k, q_mask, kv_mask)
+
+    lp = -(-l // block_q) * block_q
+    sp = -(-s // block_k) * block_k
+    if lp != l:
+        q = jnp.pad(q, ((0, 0), (0, lp - l), (0, 0), (0, 0)))
+        qm = jnp.pad(qm, ((0, 0), (0, lp - l)))
+    if sp != s:
+        k = jnp.pad(k, ((0, 0), (0, sp - s), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sp - s), (0, 0), (0, 0)))
+        km = jnp.pad(km, ((0, 0), (0, sp - s)))
+
+    qf = q.reshape(b, lp, h * d)
+    kf = k.reshape(b, sp, h * d)
+    vf = v.reshape(b, sp, h * d)
+    qm3 = qm[:, :, None]
+    km3 = km[:, None, :]
+    n_q = lp // block_q
+    n_kv = sp // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_flash_attn_kernel, nhead=h, n_kv=n_kv),
+        grid=(b, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, h * d), lambda ib, iq, ik: (ib, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, h * d), lambda ib, iq, ik: (ib, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, h * d), lambda ib, iq, ik: (ib, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda ib, iq, ik: (ib, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda ib, iq, ik: (ib, 0, ik),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, h * d),
+                               lambda ib, iq, ik: (ib, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lp, h * d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, h * d), jnp.float32),
+            pltpu.VMEM((block_q, h), jnp.float32),
+            pltpu.VMEM((block_q, h), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lp * sp * d,
+            bytes_accessed=2 * b * (lp * h * d * 2 + 2 * sp * h * d),
+            transcendentals=b * h * lp * sp),
+        interpret=interpret,
+    )(qf, kf, vf, qm3, km3)
+    return out.reshape(b, lp, h, d)[:, :l]

@@ -16,6 +16,7 @@ covers the case where the *sequence* must be split.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import partial
 
 import jax
@@ -24,6 +25,28 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 Array = jnp.ndarray
+
+# Trace-time context threading the (mesh, axis) pair into model code: the
+# transformer's attention dispatch (models/transformer.py:_attend) reads
+# this when ``attention='full:ring'`` so configs can request sequence
+# parallelism without plumbing device topology through module attributes.
+_RING_CTX: list[tuple[Mesh, str]] = []
+
+
+@contextmanager
+def ring_context(mesh: Mesh, axis: str = "seq"):
+    """Make ``ring_attention`` reachable from model configs: any
+    ``attention='full:ring'`` layer traced inside this context shards its
+    K/V sequence over ``axis`` of ``mesh``."""
+    _RING_CTX.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _RING_CTX.pop()
+
+
+def current_ring_context() -> tuple[Mesh, str] | None:
+    return _RING_CTX[-1] if _RING_CTX else None
 
 
 def _block_attend(q, k, v, acc, row_max, row_sum, kv_mask):

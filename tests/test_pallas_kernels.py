@@ -57,3 +57,37 @@ def test_bfloat16_io(rng):
     ref = linear_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                atol=0.05, rtol=0.05)
+
+
+def test_flash_attention_matches_reference(rng):
+    """Streaming KV-blocked kernel == whole-row softmax oracle, including
+    ragged (non-block-divisible) L/S handled by internal padding."""
+    from oetr_tpu.ops.pallas_attention import flash_attention_pallas
+    q, k, v = _qkv(rng, b=2, l=75, s=130, h=2, d=16)
+    qm = jnp.asarray(np.arange(75) < 60)[None].repeat(2, 0)
+    km = jnp.asarray(np.arange(130) < 100)[None].repeat(2, 0)
+    ref = full_attention(q, k, v, qm, km)
+    out = flash_attention_pallas(q, k, v, qm, km, block_q=32, block_k=64,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out)[:, :60],
+                               np.asarray(ref)[:, :60], atol=2e-5)
+
+
+def test_flash_attention_unmasked(rng):
+    from oetr_tpu.ops.pallas_attention import flash_attention_pallas
+    q, k, v = _qkv(rng, b=1, l=64, s=128, h=2, d=16)
+    ref = full_attention(q, k, v)
+    out = flash_attention_pallas(q, k, v, block_q=32, block_k=32,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_transformer_flash_dispatch(rng):
+    """attention='full:flash' through the model dispatch == 'full'."""
+    import jax
+
+    from oetr_tpu.models.transformer import _attend
+    q, k, v = _qkv(rng, b=2, l=40, s=40, h=2, d=16)
+    ref = _attend("full", q, k, v, None, None)
+    out = jax.jit(lambda *a: _attend("full:flash", *a, None, None))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

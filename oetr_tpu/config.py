@@ -25,9 +25,13 @@ class BackboneConfig:
 class NeckConfig:
     """Ref: src/config/default.py:20-28."""
     d_model: int = 256              # last_layer // 4 (src/model.py:44)
-    attention: str = "linear"       # 'linear' | 'full' (default.py:24);
-                                    # append ':pallas' for the fused TPU
-                                    # kernels (ops/pallas_attention.py)
+    attention: str = "linear:pallas"
+    # 'linear' | 'full' (default.py:24); ':pallas' = fused TPU kernels
+    # (ops/pallas_attention.py), the default since they beat XLA at the
+    # flagship shape on real v5e hardware (1.65x @ L=400 bf16, see
+    # PERF.md); non-TPU backends transparently use the XLA ops.
+    # 'full:flash' = streaming KV-blocked kernel (long stride-16 maps);
+    # 'full:ring' = sequence-parallel over a mesh (parallel.ring_context).
     max_shape: tuple[int, int] = (100, 100)  # positional-encoding grid cap
     patch_sizes: tuple[int, ...] = (4, 8, 16)  # PatchMerging kernels (model.py:51-56)
     nhead: int = 8

@@ -1,0 +1,91 @@
+"""Synthetic MegaDepth-style scene generator (demo/training smoke data).
+
+Generates an on-disk tree in the exact format MegaDepthPairsDataset
+parses (jpg images, h5 depth maps, the 10-field pair-line format of
+/root/reference/src/datasets/megadepth_pairs.py:76-97) from procedural
+textures and *known* two-view geometry: constant-depth planes observed
+by translated cameras, so the co-visible region is an exact rectangle
+and the GT overlap-box pipeline (geometry/overlap.py) is exercised
+end-to-end. Used by scripts/train_demo.py for the from-scratch training
+accuracy evidence in BASELINE.md and by tests.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Feature-rich procedural texture in [0, 255] uint8 RGB."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.zeros((h, w, 3), np.float32)
+    for _ in range(6):                       # low-frequency color waves
+        fx, fy = rng.uniform(0.01, 0.08, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        c = rng.uniform(0, 1, 3)
+        img += np.sin(fx * xx + fy * yy + ph)[..., None] * c[None, None]
+    for _ in range(40):                      # blobs -> corners for features
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        s = rng.uniform(2, 12)
+        c = rng.uniform(-1, 1, 3)
+        img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s)
+                      )[..., None] * c[None, None]
+    img -= img.min()
+    img /= max(img.max(), 1e-6)
+    return (img * 255).astype(np.uint8)
+
+
+def generate_scene(base: str, n_pairs: int = 64, image_hw: int = 160,
+                   depth_z: float = 10.0, focal: float = 120.0,
+                   max_shift_px: int = 48, seed: int = 0) -> str:
+    """Write images/depths/pairs.txt under ``base``; return pairs path.
+
+    Each pair: two crops of one texture plane related by a pure camera
+    translation at constant depth z — image2's content is image1's
+    shifted by (fx*tx/z, fy*ty/z) pixels, and the GT overlap boxes the
+    data layer recomputes online are exact rectangles.
+    """
+    rng = np.random.default_rng(seed)
+    import cv2
+
+    os.makedirs(os.path.join(base, "imgs"), exist_ok=True)
+    os.makedirs(os.path.join(base, "depths"), exist_ok=True)
+    import h5py
+
+    hw = image_hw
+    K = np.array([[focal, 0, hw / 2], [0, focal, hw / 2], [0, 0, 1.0]])
+    Ks = ",".join(str(x) for x in K.reshape(-1))
+    P1 = ",".join(str(x) for x in np.eye(4).reshape(-1))
+    full_box = f"0,0,{hw},{hw}"
+
+    lines = []
+    pad = max_shift_px
+    for i in range(n_pairs):
+        canvas = _texture(rng, hw + 2 * pad, hw + 2 * pad)
+        dx = int(rng.integers(-max_shift_px, max_shift_px + 1))
+        dy = int(rng.integers(-max_shift_px, max_shift_px + 1))
+        im1 = canvas[pad:pad + hw, pad:pad + hw]
+        im2 = canvas[pad + dy:pad + dy + hw, pad + dx:pad + dx + hw]
+        cv2.imwrite(os.path.join(base, "imgs", f"a{i}.jpg"), im1[..., ::-1])
+        cv2.imwrite(os.path.join(base, "imgs", f"b{i}.jpg"), im2[..., ::-1])
+        for nm in (f"a{i}", f"b{i}"):
+            with h5py.File(os.path.join(base, "depths", f"{nm}.h5"),
+                           "w") as f:
+                f.create_dataset("/depth", data=np.full((hw, hw), depth_z,
+                                                        np.float32))
+        # World->cam pose of camera 2: a canvas feature at image1 pixel
+        # u appears in image2 at u - (dx, dy), so the projection must
+        # shift by -(dx, dy): t = -(dx, dy) * z / f.
+        pose2 = np.eye(4)
+        pose2[0, 3] = -dx * depth_z / focal
+        pose2[1, 3] = -dy * depth_z / focal
+        P2 = ",".join(str(x) for x in pose2.reshape(-1))
+        lines.append(
+            f"imgs/a{i}.jpg depths/a{i}.h5 {Ks} {P1} {full_box} "
+            f"imgs/b{i}.jpg depths/b{i}.h5 {Ks} {P2} {full_box}")
+
+    pairs = os.path.join(base, "pairs.txt")
+    with open(pairs, "w") as f:
+        f.write("\n".join(lines))
+    return pairs

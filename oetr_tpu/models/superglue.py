@@ -93,6 +93,7 @@ class SuperGlue(nn.Module):
     gnn_layers: int = 9                 # self+cross pairs
     nhead: int = 4
     sinkhorn_iterations: int = 30
+    pallas_sinkhorn: bool = False   # VMEM-resident TPU kernel (ops/pallas_sinkhorn.py)
     match_threshold: float = 0.2
     dtype: Any = jnp.float32
 
@@ -136,7 +137,8 @@ class SuperGlue(nn.Module):
 
         bin_score = self.param("bin_score", nn.initializers.ones, ())
         log_a = log_optimal_transport(scores, bin_score,
-                                      self.sinkhorn_iterations, m0, m1)
+                                      self.sinkhorn_iterations, m0, m1,
+                                      use_pallas=self.pallas_sinkhorn)
         matches0, matches1, ms0, ms1 = extract_matches(
             log_a, self.match_threshold, m0, m1)
         return {

@@ -28,16 +28,28 @@ def _attend(kind: str, q, k, v, q_mask, kv_mask, use_pallas: bool = False):
       'full:ring'                    — sequence-parallel ring attention;
                                        requires parallel.ring_context(mesh)
                                        around the call (trace time).
+
+    On non-TPU backends the Pallas kinds silently use the numerically
+    equivalent XLA ops (kernel==op parity is pinned by
+    tests/test_pallas_kernels.py; interpret mode is 100-1000x slower and
+    only useful for debugging — opt in with OETR_PALLAS_INTERPRET=1).
+    Tiny q/kv blocks (the decoder's single learned query) also use the
+    XLA ops: no MXU win, and sub-tile shapes stress Mosaic for nothing.
     """
+    import os
+
     import jax
 
-    # Pallas kernels compile only for TPU; on the CPU test backend they
-    # run interpreted so every config stays testable without hardware.
-    interpret = jax.default_backend() == "cpu"
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = (not on_tpu) and bool(os.environ.get(
+        "OETR_PALLAS_INTERPRET"))
+    pallas_ok = (on_tpu or interpret) and q.shape[1] >= 8 and k.shape[1] >= 8
     if kind.endswith(":pallas"):
         kind = kind.split(":")[0]
         use_pallas = True
     if kind == "full:flash":
+        if not pallas_ok:
+            return full_attention(q, k, v, q_mask, kv_mask)
         from ..ops.pallas_attention import flash_attention_pallas
         return flash_attention_pallas(q, k, v, q_mask, kv_mask,
                                       interpret=interpret)
@@ -57,7 +69,7 @@ def _attend(kind: str, q, k, v, q_mask, kv_mask, use_pallas: bool = False):
         if q_mask is not None:
             out = out * q_mask[:, :, None, None].astype(out.dtype)
         return out
-    if use_pallas:
+    if use_pallas and pallas_ok:
         from ..ops.pallas_attention import (full_attention_pallas,
                                             linear_attention_pallas)
         fn = (linear_attention_pallas if kind == "linear"

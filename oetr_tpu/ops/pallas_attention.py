@@ -64,8 +64,13 @@ def _linear_attn_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, *,
         Vh = V[:, sl] * inv_s                      # fp16-overflow guard parity
         kv = jnp.dot(Kh.T, Vh, preferred_element_type=jnp.float32)   # [D, D]
         k_sum = jnp.sum(Kh.astype(jnp.float32), axis=0, keepdims=True)  # [1, D]
-        z = 1.0 / (jnp.dot(Qh, k_sum.T.astype(Qh.dtype),
-                           preferred_element_type=jnp.float32) + eps)  # [L, 1]
+        den = jnp.dot(Qh, k_sum.T.astype(Qh.dtype),
+                      preferred_element_type=jnp.float32)            # [L, 1]
+        # NB: `den + eps` trips Mosaic ("only neutral accumulator
+        # supported for float reduction" — it folds the constant into the
+        # reduction init); clamping is equivalent here since den >= 0
+        # (elu+1 > 0 and masked K rows are exactly 0).
+        z = 1.0 / jnp.maximum(den, eps)
         out = jnp.dot(Qh, kv.astype(Qh.dtype),
                       preferred_element_type=jnp.float32) * z * s
         o_ref[0, :, sl] = out.astype(o_ref.dtype)

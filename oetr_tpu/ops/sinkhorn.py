@@ -41,7 +41,8 @@ def log_sinkhorn(log_cost: Array, log_mu: Array, log_nu: Array,
 
 def log_optimal_transport(scores: Array, alpha: Array, iters: int,
                           mask0: Array | None = None,
-                          mask1: Array | None = None) -> Array:
+                          mask1: Array | None = None,
+                          use_pallas: bool = False) -> Array:
     """SuperGlue-style partial optimal transport with dustbins.
 
     Args:
@@ -89,7 +90,12 @@ def log_optimal_transport(scores: Array, alpha: Array, iters: int,
         (jnp.log(jnp.maximum(ms, 1e-9)) + norm)[:, None],
     ], axis=1)                                                 # [B, N+1]
 
-    Z = log_sinkhorn(aug, log_mu, log_nu, iters)
+    if use_pallas:
+        from .pallas_sinkhorn import log_sinkhorn_pallas
+        Z = log_sinkhorn_pallas(aug, log_mu, log_nu, iters,
+                                interpret=jax.default_backend() == "cpu")
+    else:
+        Z = log_sinkhorn(aug, log_mu, log_nu, iters)
     return Z - norm[:, None, None]
 
 

@@ -81,15 +81,61 @@ def bench_shape(b, l, s, h, d, dtype, mask_frac=1.0, iters=30):
     return results
 
 
+def bench_flash(b, l, s, h, d, dtype, iters=20):
+    """Long-sequence regime: streaming flash kernel vs XLA full attention."""
+    from oetr_tpu.ops.pallas_attention import flash_attention_pallas
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(0, 1, (b, l, h, d)), dtype)
+    k = jnp.asarray(rng.normal(0, 1, (b, s, h, d)), dtype)
+    v = jnp.asarray(rng.normal(0, 1, (b, s, h, d)), dtype)
+    t_xla, o_xla = timeit(jax.jit(full_attention), q, k, v, iters=iters)
+    t_fl, o_fl = timeit(flash_attention_pallas, q, k, v, iters=iters)
+    diff = float(jnp.max(jnp.abs(
+        o_xla.astype(jnp.float32) - o_fl.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(o_xla.astype(jnp.float32)))) + 1e-9
+    rec = {"kernel": "flash", "shape": [b, l, s, h, d], "dtype": str(dtype),
+           "xla_us": round(t_xla * 1e6, 1), "pallas_us": round(t_fl * 1e6, 1),
+           "speedup": round(t_xla / t_fl, 3),
+           "max_rel_diff": round(diff / scale, 5)}
+    print(json.dumps(rec), flush=True)
+    return [rec]
+
+
+def bench_sinkhorn(b, m, n, iters_sk=20, iters=20):
+    from oetr_tpu.ops.sinkhorn import log_optimal_transport
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(0, 1, (b, m, n)), jnp.float32)
+    xla_fn = jax.jit(lambda s: log_optimal_transport(s, 0.7, iters_sk))
+    pl_fn = jax.jit(lambda s: log_optimal_transport(s, 0.7, iters_sk,
+                                                    use_pallas=True))
+    t_xla, o_xla = timeit(xla_fn, scores, iters=iters)
+    t_pl, o_pl = timeit(pl_fn, scores, iters=iters)
+    diff = float(jnp.max(jnp.abs(o_xla - o_pl)))
+    rec = {"kernel": "sinkhorn", "shape": [b, m, n, iters_sk],
+           "dtype": "float32",
+           "xla_us": round(t_xla * 1e6, 1), "pallas_us": round(t_pl * 1e6, 1),
+           "speedup": round(t_xla / t_pl, 3), "max_rel_diff": round(diff, 5)}
+    print(json.dumps(rec), flush=True)
+    return [rec]
+
+
 def main():
     print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
+    only = sys.argv[1] if len(sys.argv) > 1 else "all"
     all_res = []
-    # OETR flagship: stride-32 tokens at 640^2 -> 20x20=400/image.
-    all_res += bench_shape(16, 400, 400, 8, 32, jnp.bfloat16)
-    # Larger map (832^2 crop canvas at stride 32 -> 26x26=676).
-    all_res += bench_shape(16, 676, 676, 8, 32, jnp.bfloat16)
-    # Decoder regime: 1 query against the token memory.
-    all_res += bench_shape(16, 400, 400, 8, 32, jnp.float32)
+    if only in ("all", "attn"):
+        # OETR flagship: stride-32 tokens at 640^2 -> 20x20=400/image.
+        all_res += bench_shape(16, 400, 400, 8, 32, jnp.bfloat16)
+        # Larger map (832^2 crop canvas at stride 32 -> 26x26=676).
+        all_res += bench_shape(16, 676, 676, 8, 32, jnp.bfloat16)
+        all_res += bench_shape(16, 400, 400, 8, 32, jnp.float32)
+    if only in ("all", "flash"):
+        # Stride-16 long-sequence regime (SP story): 4k and 10k tokens.
+        all_res += bench_flash(4, 4096, 4096, 8, 32, jnp.bfloat16)
+        all_res += bench_flash(1, 10240, 10240, 8, 32, jnp.bfloat16, iters=5)
+    if only in ("all", "sinkhorn"):
+        # SuperGlue regime: 1024 kpts + dustbin, 20 iterations.
+        all_res += bench_sinkhorn(8, 1025, 1025, 20)
     bad = [r for r in all_res if r["max_rel_diff"] > 2e-2]
     if bad:
         print(f"MISMATCH: {bad}", file=sys.stderr)

@@ -82,12 +82,42 @@ def test_flash_attention_unmasked(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_transformer_flash_dispatch(rng):
-    """attention='full:flash' through the model dispatch == 'full'."""
+def test_transformer_flash_dispatch(rng, monkeypatch):
+    """attention='full:flash' through the model dispatch == 'full'
+    (OETR_PALLAS_INTERPRET forces the real kernel, interpreted, on CPU —
+    without it the dispatch falls back to the XLA op off-TPU)."""
     import jax
 
+    monkeypatch.setenv("OETR_PALLAS_INTERPRET", "1")
     from oetr_tpu.models.transformer import _attend
     q, k, v = _qkv(rng, b=2, l=40, s=40, h=2, d=16)
     ref = _attend("full", q, k, v, None, None)
     out = jax.jit(lambda *a: _attend("full:flash", *a, None, None))(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_dispatch_cpu_fallback(rng, monkeypatch):
+    """Off-TPU without the env override, ':pallas' kinds use the XLA ops
+    (exact equality), so the flagship config stays fast in CPU tests."""
+    monkeypatch.delenv("OETR_PALLAS_INTERPRET", raising=False)
+    from oetr_tpu.models.transformer import _attend
+    q, k, v = _qkv(rng, b=1, l=32, s=32, h=2, d=16)
+    ref = _attend("linear", q, k, v, None, None)
+    out = _attend("linear:pallas", q, k, v, None, None)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sinkhorn_pallas_matches_xla(rng):
+    """VMEM-resident Sinkhorn kernel == the XLA scan, incl. dustbins and
+    validity masks (SuperGlue's matching core)."""
+    from oetr_tpu.ops.sinkhorn import log_optimal_transport
+
+    b, m, n = 2, 48, 64
+    scores = jnp.asarray(rng.normal(0, 1, (b, m, n)).astype(np.float32))
+    mask0 = jnp.asarray(np.arange(m) < 40)[None].repeat(b, 0)
+    mask1 = jnp.asarray(np.arange(n) < 50)[None].repeat(b, 0)
+    ref = log_optimal_transport(scores, 0.7, 20, mask0, mask1)
+    out = log_optimal_transport(scores, 0.7, 20, mask0, mask1,
+                                use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

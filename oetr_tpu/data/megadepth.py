@@ -137,7 +137,29 @@ class MegaDepthPairsDataset:
             rec.K1, depth1, rec.pose1, crop1, (r1[1], r1[0]),
             rec.K2, depth2, rec.pose2, crop2, (r2[1], r2[0]))
 
+        seg = {}
+        if self.with_mask:
+            # Segmentation masks ride next to the images under masks/
+            # with a .png extension (ref: src/datasets/utils.py:286-307)
+            # and get the same resize (nearest) + central crop chain.
+            def load_seg(rel, crop):
+                p = os.path.join(
+                    self.base_path,
+                    rel.replace("images", "masks").replace("imgs", "masks")
+                    .replace(".jpg", ".png").replace(".JPG", ".png"))
+                m = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+                if m is None:
+                    return np.zeros(self.image_size, np.float32)
+                m, _ = resize_dataset(m, self.image_size, depth=True)
+                m = m[crop[0]:crop[0] + self.image_size[0],
+                      crop[1]:crop[1] + self.image_size[1]]
+                return m.astype(np.float32)
+
+            seg = {"seg_mask1": load_seg(rec.image_path1, crop1),
+                   "seg_mask2": load_seg(rec.image_path2, crop2)}
+
         return {
+            **seg,
             "image1": image1[..., ::-1].astype(np.float32) / 255.0,
             "image2": image2[..., ::-1].astype(np.float32) / 255.0,
             "depth1": depth1.astype(np.float32),

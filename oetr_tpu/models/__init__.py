@@ -11,7 +11,7 @@ from .oetr import (OETR, PatchEmbed, PatchMerging, build_oetr,
 from .resnet import ResNetEncoder, backbone_channels
 from .superglue import AttentionalPropagation, KeypointEncoder, SuperGlue
 from .r2d2 import R2D2, R2D2Trunk
-from .sift_based import (ContextDescAugmenter, contextdesc_extract,
+from .sift_based import (ContextDesc, ContextDescAugmenter, contextdesc_extract,
                          landmark_extract, sift_keypoints)
 from .superpoint import SuperPoint, SuperPointNet, grayscale
 from .transformer import (DecoderLayer, EncoderLayer, MultiHeadAttention,

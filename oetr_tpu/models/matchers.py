@@ -75,3 +75,36 @@ def nearest_neighbor_match(desc0: Array, desc1: Array,
         matches0 = jnp.where(valid0, matches0, -1)
         scores0 = jnp.where(valid0, scores0, 0.0)
     return {"matches0": matches0, "matching_scores0": scores0}
+
+
+def disk_brute_match(desc0: Array, desc1: Array,
+                     valid0: Array | None = None,
+                     valid1: Array | None = None,
+                     rt: float = 0.1) -> dict:
+    """Dedicated DISK brute-force matcher (the reference wraps its
+    submodule's match(), dloc/core/matchers/disk_match.py:20-40, conf
+    rt=0.1 :22).
+
+    L2 brute force over unit-norm descriptors, cycle-consistent mutual
+    NN, with DISK's ratio *margin*: a match survives when its best
+    distance is at least ``rt`` relatively better than the runner-up,
+    d_best <= (1 - rt) * d_second. Matching scores are 1.0 for kept
+    matches — the reference returns constant ones (:38).
+    """
+    sim = jnp.einsum("bmd,bnd->bmn", desc0, desc1)
+
+    def side(s, vcols):
+        if vcols is not None:
+            s = jnp.where(vcols[:, None, :], s, NEG_INF)
+        sim_nn, ind_nn = jax.lax.top_k(s, 2)
+        dist_nn = jnp.maximum(2.0 * (1.0 - sim_nn), 0.0)
+        keep = dist_nn[..., 0] <= (1.0 - rt) * dist_nn[..., 1]
+        return jnp.where(keep, ind_nn[..., 0], -1)
+
+    m0 = side(sim, valid1)
+    m1 = side(jnp.swapaxes(sim, 1, 2), valid0)
+    matches0 = mutual_check(m0, m1)
+    if valid0 is not None:
+        matches0 = jnp.where(valid0, matches0, -1)
+    scores0 = (matches0 > -1).astype(jnp.float32)
+    return {"matches0": matches0, "matching_scores0": scores0}

@@ -123,13 +123,15 @@ def _populate() -> None:
     register("cotr", ModelEntry(
         "matcher", COTR, {}, "matches-cotr"))
 
-    # DISK brute-force matcher = mutual NN over DISK descriptors
-    # (the reference submodule's match(), dloc/core/matchers/disk_match.py).
+    # Dedicated DISK brute-force matcher: cycle-consistent L2 NN with
+    # DISK's rt ratio margin (ref: dloc/core/matchers/disk_match.py:20-40).
+    from .matchers import disk_brute_match
+
     register("disk", ModelEntry(
-        "matcher", lambda **kw: (lambda data: nearest_neighbor_match(
+        "matcher", lambda **kw: (lambda data: disk_brute_match(
             data["descriptors0"], data["descriptors1"],
             data.get("valid0"), data.get("valid1"), **kw)),
-        dict(do_mutual_check=True), "matches-disk-brute-force"))
+        dict(rt=0.1), "matches-disk-brute-force"))
 
     # Contour-ICP rigid matcher (conf parity: dloc/core/matchers/icp.py:16).
     from .icp import icp_match

@@ -142,6 +142,32 @@ def _call_attention(kernel, q, k, v, qm, km, km_layout, interpret,
     return out.reshape(b, l, h, d)
 
 
+def _with_xla_vjp(pallas_fwd, xla_op):
+    """Make a Pallas forward differentiable: fused kernel on the primal
+    pass, the numerically-identical XLA op's VJP on the backward pass
+    (the standard production pattern — training works, inference keeps
+    the kernel win; kernel==op parity is pinned by tests).
+
+    Both callables take (q, k, v, qm, km) with float masks.
+    """
+    @jax.custom_vjp
+    def f(q, k, v, qm, km):
+        return pallas_fwd(q, k, v, qm, km)
+
+    def fwd(q, k, v, qm, km):
+        return pallas_fwd(q, k, v, qm, km), (q, k, v, qm, km)
+
+    def bwd(res, g):
+        q, k, v, qm, km = res
+        _, vjp = jax.vjp(lambda q_, k_, v_: xla_op(q_, k_, v_, qm > 0,
+                                                   km > 0), q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, jnp.zeros_like(qm), jnp.zeros_like(km)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def linear_attention_pallas(q: Array, k: Array, v: Array,
                             q_mask: Array | None = None,
@@ -151,6 +177,7 @@ def linear_attention_pallas(q: Array, k: Array, v: Array,
     """Fused linear attention. Same contract as ops.attention.linear_attention.
 
     q: [B, L, H, D]; k, v: [B, S, H, D]; masks [B, L] / [B, S].
+    Differentiable: backward runs the XLA op's VJP (_with_xla_vjp).
     """
     b, l, h, d = q.shape
     s = k.shape[1]
@@ -160,9 +187,14 @@ def linear_attention_pallas(q: Array, k: Array, v: Array,
         bytes_accessed=2 * b * (l * h * d * 2 + 2 * s * h * d),
         transcendentals=b * h * (l + s) * d,
     )
-    return _call_attention(
-        functools.partial(_linear_attn_kernel, nhead=h, eps=eps),
-        q, k, v, qm, km, "col", interpret, cost)
+
+    def pallas_fwd(q, k, v, qm, km):
+        return _call_attention(
+            functools.partial(_linear_attn_kernel, nhead=h, eps=eps),
+            q, k, v, qm, km, "col", interpret, cost)
+
+    from .attention import linear_attention as xla_op
+    return _with_xla_vjp(pallas_fwd, xla_op)(q, k, v, qm, km)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -175,6 +207,7 @@ def full_attention_pallas(q: Array, k: Array, v: Array,
     Whole-row softmax in VMEM — valid for S up to ~4k tokens; the
     stride-16 full-resolution regime (~15k tokens) uses the streaming
     ``flash_attention_pallas`` below.
+    Differentiable: backward runs the XLA op's VJP (_with_xla_vjp).
     """
     b, l, h, d = q.shape
     s = k.shape[1]
@@ -184,9 +217,14 @@ def full_attention_pallas(q: Array, k: Array, v: Array,
         bytes_accessed=2 * b * (l * h * d * 2 + 2 * s * h * d),
         transcendentals=b * h * l * s,
     )
-    return _call_attention(
-        functools.partial(_full_attn_kernel, nhead=h),
-        q, k, v, qm, km, "row", interpret, cost)
+
+    def pallas_fwd(q, k, v, qm, km):
+        return _call_attention(
+            functools.partial(_full_attn_kernel, nhead=h),
+            q, k, v, qm, km, "row", interpret, cost)
+
+    from .attention import full_attention as xla_op
+    return _with_xla_vjp(pallas_fwd, xla_op)(q, k, v, qm, km)
 
 
 def _flash_attn_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref,
@@ -263,56 +301,65 @@ def flash_attention_pallas(q: Array, k: Array, v: Array,
     """
     b, l, h, d = q.shape
     s = k.shape[1]
-    qm, km = _prep_masks(q, k, q_mask, kv_mask)
+    qm0, km0 = _prep_masks(q, k, q_mask, kv_mask)
 
-    lp = -(-l // block_q) * block_q
-    sp = -(-s // block_k) * block_k
-    if lp != l:
-        q = jnp.pad(q, ((0, 0), (0, lp - l), (0, 0), (0, 0)))
-        qm = jnp.pad(qm, ((0, 0), (0, lp - l)))
-    if sp != s:
-        k = jnp.pad(k, ((0, 0), (0, sp - s), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, sp - s), (0, 0), (0, 0)))
-        km = jnp.pad(km, ((0, 0), (0, sp - s)))
+    def pallas_fwd(q, k, v, qm, km):
+        lp = -(-l // block_q) * block_q
+        sp = -(-s // block_k) * block_k
+        if lp != l:
+            q = jnp.pad(q, ((0, 0), (0, lp - l), (0, 0), (0, 0)))
+            qm = jnp.pad(qm, ((0, 0), (0, lp - l)))
+        if sp != s:
+            k = jnp.pad(k, ((0, 0), (0, sp - s), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, sp - s), (0, 0), (0, 0)))
+            km = jnp.pad(km, ((0, 0), (0, sp - s)))
 
-    qf = q.reshape(b, lp, h * d)
-    kf = k.reshape(b, sp, h * d)
-    vf = v.reshape(b, sp, h * d)
-    qm3 = qm[:, :, None]
-    km3 = km[:, None, :]
-    n_q = lp // block_q
-    n_kv = sp // block_k
+        qf = q.reshape(b, lp, h * d)
+        kf = k.reshape(b, sp, h * d)
+        vf = v.reshape(b, sp, h * d)
+        qm3 = qm[:, :, None]
+        km3 = km[:, None, :]
+        n_q = lp // block_q
+        n_kv = sp // block_k
 
-    out = pl.pallas_call(
-        functools.partial(_flash_attn_kernel, nhead=h, n_kv=n_kv),
-        grid=(b, n_q, n_kv),
-        in_specs=[
-            pl.BlockSpec((1, block_q, h * d), lambda ib, iq, ik: (ib, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, h * d), lambda ib, iq, ik: (ib, ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, h * d), lambda ib, iq, ik: (ib, ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda ib, iq, ik: (ib, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda ib, iq, ik: (ib, 0, ik),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, h * d),
-                               lambda ib, iq, ik: (ib, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, lp, h * d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, h * d), jnp.float32),
-            pltpu.VMEM((block_q, h), jnp.float32),
-            pltpu.VMEM((block_q, h), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * lp * sp * d,
-            bytes_accessed=2 * b * (lp * h * d * 2 + 2 * sp * h * d),
-            transcendentals=b * h * lp * sp),
-        interpret=interpret,
-    )(qf, kf, vf, qm3, km3)
-    return out.reshape(b, lp, h, d)[:, :l]
+        out = pl.pallas_call(
+            functools.partial(_flash_attn_kernel, nhead=h, n_kv=n_kv),
+            grid=(b, n_q, n_kv),
+            in_specs=[
+                pl.BlockSpec((1, block_q, h * d),
+                             lambda ib, iq, ik: (ib, iq, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, h * d),
+                             lambda ib, iq, ik: (ib, ik, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, h * d),
+                             lambda ib, iq, ik: (ib, ik, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1),
+                             lambda ib, iq, ik: (ib, iq, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda ib, iq, ik: (ib, 0, ik),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, h * d),
+                                   lambda ib, iq, ik: (ib, iq, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, lp, h * d), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, h * d), jnp.float32),
+                pltpu.VMEM((block_q, h), jnp.float32),
+                pltpu.VMEM((block_q, h), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * lp * sp * d,
+                bytes_accessed=2 * b * (lp * h * d * 2 + 2 * sp * h * d),
+                transcendentals=b * h * lp * sp),
+            interpret=interpret,
+        )(qf, kf, vf, qm3, km3)
+        return out.reshape(b, lp, h, d)[:, :l]
+
+    from .attention import full_attention as xla_op
+    return _with_xla_vjp(pallas_fwd, xla_op)(q, k, v, qm0, km0)

@@ -173,3 +173,27 @@ def test_latest_checkpoint_step(tmp_path):
     (tmp_path / "step_12").mkdir()
     (tmp_path / "not_a_ckpt").mkdir()
     assert latest_checkpoint_step(str(tmp_path)) == 12
+
+
+@pytest.mark.quick
+def test_with_mask_loads_segmentation(tmp_path, rng):
+    """with_mask=True loads masks/<name>.png through the same resize+crop
+    chain as the image (ref: src/datasets/utils.py:286-307) — the path
+    the reference accepts but round 1 left unimplemented."""
+    import cv2
+
+    from oetr_tpu.data.synthetic import generate_scene
+    pairs = generate_scene(str(tmp_path), n_pairs=2, image_hw=64,
+                           max_shift_px=8, seed=1)
+    os.makedirs(tmp_path / "masks", exist_ok=True)
+    for stem in ("a0", "b0", "a1", "b1"):
+        m = np.zeros((64, 64), np.uint8)
+        m[:32] = 255
+        cv2.imwrite(str(tmp_path / "masks" / f"{stem}.png"), m)
+
+    ds = MegaDepthPairsDataset(str(tmp_path), pairs, image_size=(64, 64),
+                               train=False, with_mask=True)
+    item = ds[0]
+    assert item["seg_mask1"].shape == (64, 64)
+    assert item["seg_mask2"].shape == (64, 64)
+    assert item["seg_mask1"].max() == 255.0 and item["seg_mask1"].min() == 0.0

@@ -103,3 +103,31 @@ def test_icp_match(rng):
     np.testing.assert_allclose(T[0, 2], 15.0, atol=3.0)
     np.testing.assert_allclose(T[1, 2], 8.0, atol=3.0)
     np.testing.assert_allclose(T[0, 0], 1.0, atol=0.05)
+
+
+@pytest.mark.quick
+def test_contextdesc_full_network(rng):
+    """Full ContextDesc (regional visual tower + geometric context +
+    fusion + matchability) — paper architecture, replacing the round-1
+    MLP stand-in."""
+    import jax
+    import jax.numpy as jnp
+
+    from oetr_tpu.models.sift_based import ContextDesc
+
+    net = ContextDesc(regional_dim=16, hidden=32)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)), jnp.float32)
+    desc = jnp.asarray(rng.normal(0, 0.1, (1, 20, 128)), jnp.float32)
+    xy = jnp.asarray(rng.uniform(0, 64, (1, 20, 2)), jnp.float32)
+    scores = jnp.asarray(rng.uniform(0, 1, (1, 20)), jnp.float32)
+    valid = jnp.asarray(np.arange(20) < 15)[None]
+
+    params = net.init(jax.random.key(0), img, desc, xy, scores, valid)
+    out, match = net.apply(params, img, desc, xy, scores, valid)
+    assert out.shape == (1, 20, 128) and match.shape == (1, 20)
+    norms = np.linalg.norm(np.asarray(out)[0], axis=-1)
+    np.testing.assert_allclose(norms[:15], 1.0, atol=1e-5)   # unit desc
+    np.testing.assert_allclose(norms[15:], 0.0, atol=1e-6)   # masked
+    assert (np.asarray(match)[0, 15:] == 0).all()
+    assert ((np.asarray(match)[0, :15] > 0) &
+            (np.asarray(match)[0, :15] < 1)).all()

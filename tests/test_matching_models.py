@@ -149,3 +149,27 @@ def test_registry_host_side_entries(rng):
     icp = registry.build("icp", min_area=100.0)
     out = icp(img, img)
     assert out["T"].shape == (3, 3)
+
+
+@pytest.mark.quick
+def test_disk_brute_match(rng):
+    """Dedicated DISK brute matcher: mutual + rt ratio margin
+    (ref: disk_match.py:20-40)."""
+    import jax.numpy as jnp
+
+    from oetr_tpu.models.matchers import disk_brute_match
+
+    d = rng.normal(0, 1, (1, 20, 32))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    perm = rng.permutation(20)
+    d1 = d[:, perm] + rng.normal(0, 0.01, (1, 20, 32))
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    out = disk_brute_match(jnp.asarray(d), jnp.asarray(d1), rt=0.1)
+    m = np.asarray(out["matches0"][0])
+    kept = m > -1
+    assert kept.sum() >= 18                      # near-perfect recovery
+    # d1[:, j] == d[:, perm[j]] -> expected matches0[i] = inv[i].
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(20)
+    assert (m[kept] == inv[np.nonzero(kept)[0]]).all()
+    assert set(np.asarray(out["matching_scores0"][0])[kept]) == {1.0}

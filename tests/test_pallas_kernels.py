@@ -121,3 +121,27 @@ def test_sinkhorn_pallas_matches_xla(rng):
                                 use_pallas=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_attention_grads_match_xla(rng):
+    """custom_vjp: Pallas forwards are differentiable, with gradients
+    equal to the XLA ops' (the backward IS the XLA VJP) — training with
+    the fused kernels works (the round-2 train demo caught this)."""
+    import jax
+
+    from oetr_tpu.ops.pallas_attention import (flash_attention_pallas,
+                                               linear_attention_pallas)
+    q, k, v = _qkv(rng, b=1, l=32, s=32, h=2, d=16)
+    qm = jnp.asarray(np.arange(32) < 28)[None]
+    km = jnp.asarray(np.arange(32) < 30)[None]
+
+    for pl_fn, xla_fn in [
+            (lambda *a: linear_attention_pallas(*a, interpret=True),
+             linear_attention),
+            (lambda *a: flash_attention_pallas(
+                *a, block_q=16, block_k=16, interpret=True),
+             full_attention)]:
+        g_pl = jax.grad(lambda q_: jnp.sum(pl_fn(q_, k, v, qm, km) ** 2))(q)
+        g_x = jax.grad(lambda q_: jnp.sum(xla_fn(q_, k, v, qm, km) ** 2))(q)
+        np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_x),
+                                   atol=5e-4)

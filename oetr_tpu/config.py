@@ -25,12 +25,17 @@ class BackboneConfig:
 class NeckConfig:
     """Ref: src/config/default.py:20-28."""
     d_model: int = 256              # last_layer // 4 (src/model.py:44)
-    attention: str = "linear:pallas"
-    # 'linear' | 'full' (default.py:24); ':pallas' = fused TPU kernels
-    # (ops/pallas_attention.py), the default since they beat XLA at the
-    # flagship shape on real v5e hardware (1.65x @ L=400 bf16, see
-    # PERF.md); non-TPU backends transparently use the XLA ops.
-    # 'full:flash' = streaming KV-blocked kernel (long stride-16 maps);
+    attention: str = "linear"
+    # 'linear' | 'full' (default.py:24).
+    # ':pallas' suffix = fused TPU kernels (ops/pallas_attention.py).
+    # Measured on real v5e (PERF.md): the fused linear kernel wins the
+    # isolated microbench 1.65x at the flagship shape, but end-to-end the
+    # model is ~3% FASTER with the XLA op (the pallas_call boundary
+    # blocks XLA from fusing the surrounding norm/PE adds), so 'linear'
+    # stays the default; ':pallas' is the right choice when attention
+    # dominates (full @ 676+ tokens: 1.28x end-kernel win).
+    # 'full:flash' = streaming KV-blocked kernel (long stride-16 maps,
+    # 1.16-1.20x over XLA at 4k-10k tokens);
     # 'full:ring' = sequence-parallel over a mesh (parallel.ring_context).
     max_shape: tuple[int, int] = (100, 100)  # positional-encoding grid cap
     patch_sizes: tuple[int, ...] = (4, 8, 16)  # PatchMerging kernels (model.py:51-56)

@@ -162,12 +162,18 @@ def ransac_essential(kpts0n: Array, kpts1n: Array, valid: Array,
     Pipeline (all static shapes):
       1. ``num_hypotheses`` 8-point minimal fits, scored against every
          correspondence with the Sampson residual (one big batched matmul).
-      2. The ``lo_candidates`` best hypotheses are each decomposed to
-         (R, t) (cheirality vote) and refined by Gauss-Newton on the
+      2. A second sampling round draws minimal sets from the best round-1
+         consensus set (LO-RANSAC inner sampling, Chum et al. 2003) —
+         8-point needs an inlier_ratio^8 stroke of luck per sample, so at
+         high outlier rates round 2's ~clean pool is what saves the fit.
+      3. The ``lo_candidates`` best hypotheses across both rounds are
+         decomposed to (R, t) and refined by Gauss-Newton on the
          essential manifold minimizing the Sampson error
          (refine_pose_sampson) — this lifts noisy 8-point hypotheses past
          OpenCV's 5-point RANSAC accuracy.
-      3. Best candidate by final inlier count wins.
+      4. Best candidate by *cheirality-checked* inlier count wins
+         (Sampson alone cannot reject the wrong members of the planar
+         E-family; depth positivity can).
 
     Args:
       kpts0n, kpts1n: [N, 2] normalized coords (padded to static N).
@@ -183,17 +189,34 @@ def ransac_essential(kpts0n: Array, kpts1n: Array, valid: Array,
     """
     n = kpts0n.shape[0]
     thresh_sq = jnp.asarray(threshold, kpts0n.dtype) ** 2
+    rng1, rng2 = jax.random.split(rng)
 
-    idx = _sample_minimal_sets(rng, num_hypotheses, n, valid)
-    s0 = kpts0n[idx]                              # [H, 8, 2]
-    s1 = kpts1n[idx]
-    Es = jax.vmap(essential_8pt)(s0, s1)          # [H, 3, 3]
+    def fit_round(key, pool, n_hyps):
+        idx = _sample_minimal_sets(key, n_hyps, n, pool)
+        Es = jax.vmap(essential_8pt)(kpts0n[idx], kpts1n[idx])   # [H, 3, 3]
+        errs = jax.vmap(lambda E: sampson_error(kpts0n, kpts1n, E))(Es)
+        counts = jnp.sum((errs < thresh_sq) & valid[None, :], axis=-1)
+        return Es, errs, counts
 
-    errs = jax.vmap(lambda E: sampson_error(kpts0n, kpts1n, E))(Es)  # [H, N]
-    counts = jnp.sum((errs < thresh_sq) & valid[None, :], axis=-1)
+    Es1, errs1, counts1 = fit_round(rng1, valid, num_hypotheses)
+
+    # Round 2: resample from the best consensus set (kept only when it is
+    # large enough to yield diverse 8-point samples).
+    best1 = jnp.argmax(counts1)
+    inl1 = (errs1[best1] < thresh_sq) & valid
+    pool2 = jnp.where(jnp.sum(inl1) >= 16, inl1, valid)
+    Es2, errs2, counts2 = fit_round(rng2, pool2, num_hypotheses // 2)
+
+    Es = jnp.concatenate([Es1, Es2])
+    errs = jnp.concatenate([errs1, errs2])
+    counts = jnp.concatenate([counts1, counts2])
+
     _, top_idx = jax.lax.top_k(counts, lo_candidates)
     E_cands = Es[top_idx]                          # [C, 3, 3]
     inl_cands = (errs[top_idx] < thresh_sq) & valid[None, :]
+
+    k0h = to_homogeneous(kpts0n)
+    k1h = to_homogeneous(kpts1n)
 
     def local_optimize(E, inl0):
         pose = recover_pose(E, kpts0n, kpts1n, inl0)
@@ -201,7 +224,9 @@ def ransac_essential(kpts0n: Array, kpts1n: Array, valid: Array,
                                    thresh_sq, valid)
         E_ref = skew(t) @ R
         inl = (sampson_error(kpts0n, kpts1n, E_ref) < thresh_sq) & valid
-        return E_ref, R, t, inl, jnp.sum(inl)
+        z0, z1 = _cheirality_depths(R, t, k0h, k1h)
+        good = jnp.sum(inl & (z0 > 0) & (z1 > 0))
+        return E_ref, R, t, inl, good
 
     E_lo, R_lo, t_lo, inl_lo, cnt_lo = jax.vmap(local_optimize)(
         E_cands, inl_cands)
@@ -274,14 +299,62 @@ def recover_pose(E: Array, kpts0n: Array, kpts1n: Array, inliers: Array):
     return {"R": Rs[best], "t": ts[best], "num_good": counts[best]}
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "lo_candidates"))
+def decompose_homography(H: Array):
+    """Calibrated homography -> 4 candidate (R, t, n) motions.
+
+    Ma-Soatto-Kosecka ("Invitation to 3-D Vision", Thm 5.19) SVD method:
+    normalize H by its middle singular value, build the two structure
+    solutions from the singular vectors, add the (t, n) sign flips.
+    t is returned unit-norm (scale is unobservable).
+    """
+    _, s_all, _ = jnp.linalg.svd(H)
+    Hn = H / jnp.maximum(s_all[1], 1e-12)
+    _, s, Vt = jnp.linalg.svd(Hn)
+    V = Vt.T
+    s1, s3 = s[0], s[2]
+    denom = jnp.sqrt(jnp.maximum(s1 ** 2 - s3 ** 2, 1e-12))
+    a = jnp.sqrt(jnp.maximum(1.0 - s3 ** 2, 0.0))
+    b = jnp.sqrt(jnp.maximum(s1 ** 2 - 1.0, 0.0))
+    u1 = (a * V[:, 0] + b * V[:, 2]) / denom
+    u2 = (a * V[:, 0] - b * V[:, 2]) / denom
+    v2 = V[:, 1]
+
+    def sol(u):
+        U1 = jnp.stack([v2, u, jnp.cross(v2, u)], axis=1)
+        Hv2 = Hn @ v2
+        Hu = Hn @ u
+        W1 = jnp.stack([Hv2, Hu, jnp.cross(Hv2, Hu)], axis=1)
+        R = W1 @ U1.T
+        nrm = jnp.cross(v2, u)
+        t = (Hn - R) @ nrm
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+        return R, t, nrm
+
+    R1, t1, n1 = sol(u1)
+    R2, t2, n2 = sol(u2)
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t1, -t1, t2, -t2])
+    ns = jnp.stack([n1, -n1, n2, -n2])
+    return Rs, ts, ns
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "lo_candidates",
+                                   "planar_fallback"))
 def estimate_pose(kpts0: Array, kpts1: Array, valid: Array, K0: Array,
                   K1: Array, rng: Array, thresh_px: float = 1.0,
-                  num_hypotheses: int = 512, lo_candidates: int = 8):
+                  num_hypotheses: int = 512, lo_candidates: int = 8,
+                  planar_fallback: bool = True):
     """End-to-end pose estimation mirroring the reference's estimate_pose
     (dloc/evaluate/utils/evaluation.py:209-240): normalize by intrinsics,
     threshold = thresh_px / f_mean (same duplicated-index mean of
     [K0_fx, K1_fy, K0_fx, K1_fy], :213), RANSAC E, recoverPose.
+
+    ``planar_fallback`` additionally fits a calibrated homography and
+    scores its decomposed (R, t) candidates against the E-path by
+    cheirality-checked inlier count — for (near-)planar scenes the
+    8-point fit lands in the degenerate E-family (every member fits the
+    Sampson residuals), and only the H route recovers the true motion
+    (COLMAP makes the same E-vs-H model choice).
 
     Args:
       kpts0, kpts1: [N, 2] pixel coordinates (padded).
@@ -299,14 +372,50 @@ def estimate_pose(kpts0: Array, kpts1: Array, valid: Array, K0: Array,
     k0n = (kpts0 - c0[None]) / f0[None]
     k1n = (kpts1 - c1[None]) / f1[None]
 
-    res = ransac_essential(k0n, k1n, valid, norm_thresh, rng,
+    rngE, rngH = jax.random.split(rng)
+    res = ransac_essential(k0n, k1n, valid, norm_thresh, rngE,
                            num_hypotheses=num_hypotheses,
                            lo_candidates=lo_candidates)
+    E_final, R_final, t_final = res["E"], res["R"], res["t"]
+    inl_final = res["inliers"]
+
+    if planar_fallback:
+        from .homography import ransac_homography
+        thresh_sq = jnp.asarray(norm_thresh, k0n.dtype) ** 2
+        k0h = to_homogeneous(k0n)
+        k1h = to_homogeneous(k1n)
+
+        resH = ransac_homography(k0n, k1n, valid, norm_thresh * 3.0, rngH,
+                                 num_hypotheses=max(num_hypotheses // 2, 64))
+        Rs, ts, _ = decompose_homography(resH["H"])
+
+        # Score the RAW decomposed candidates: Sampson GN must not touch
+        # them — within the planar E-family every member fits the Sampson
+        # residuals, so refinement drifts freely and destroys exactly the
+        # cheirality disambiguation the H route provides.
+        def h_candidate(R, t):
+            inl = (sampson_error(k0n, k1n, skew(t) @ R) < thresh_sq) & valid
+            z0, z1 = _cheirality_depths(R, t, k0h, k1h)
+            return inl, jnp.sum(inl & (z0 > 0) & (z1 > 0))
+
+        inlh, goodh = jax.vmap(h_candidate)(Rs, ts)
+        bh = jnp.argmax(goodh)
+
+        zE0, zE1 = _cheirality_depths(R_final, t_final, k0h, k1h)
+        goodE = jnp.sum(inl_final & (zE0 > 0) & (zE1 > 0))
+        # >= : on (near-)planar scenes the wrong-family E often matches
+        # the H winner's Sampson count, but never beats its cheirality.
+        use_h = goodh[bh] >= goodE
+        R_final = jnp.where(use_h, Rs[bh], R_final)
+        t_final = jnp.where(use_h, ts[bh], t_final)
+        inl_final = jnp.where(use_h, inlh[bh], inl_final)
+        E_final = jnp.where(use_h, skew(ts[bh]) @ Rs[bh], E_final)
+
     return {
-        "E": res["E"],
-        "R": res["R"],
-        "t": res["t"],
-        "inliers": res["inliers"],
-        "num_inliers": res["num_inliers"],
-        "ok": (jnp.sum(valid) >= 5) & (res["num_inliers"] >= 5),
+        "E": E_final,
+        "R": R_final,
+        "t": t_final,
+        "inliers": inl_final,
+        "num_inliers": jnp.sum(inl_final),
+        "ok": (jnp.sum(valid) >= 5) & (jnp.sum(inl_final) >= 5),
     }

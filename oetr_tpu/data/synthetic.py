@@ -17,7 +17,12 @@ import numpy as np
 
 
 def _texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
-    """Feature-rich procedural texture in [0, 255] uint8 RGB."""
+    """Feature-rich procedural texture in [0, 255] uint8 RGB.
+
+    Mixes low-frequency color waves, Gaussian blobs, and — crucially for
+    classical detectors (SIFT needs gradient corners, not smooth blobs) —
+    sharp-edged random rectangles plus band-limited noise.
+    """
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     img = np.zeros((h, w, 3), np.float32)
     for _ in range(6):                       # low-frequency color waves
@@ -25,7 +30,7 @@ def _texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
         ph = rng.uniform(0, 2 * np.pi)
         c = rng.uniform(0, 1, 3)
         img += np.sin(fx * xx + fy * yy + ph)[..., None] * c[None, None]
-    for _ in range(40):                      # blobs -> corners for features
+    for _ in range(25):                      # smooth blobs
         cy, cx = rng.uniform(0, h), rng.uniform(0, w)
         s = rng.uniform(2, 12)
         c = rng.uniform(-1, 1, 3)
@@ -33,6 +38,19 @@ def _texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
                       )[..., None] * c[None, None]
     img -= img.min()
     img /= max(img.max(), 1e-6)
+    for _ in range(80):                      # sharp rectangles -> corners
+        cy = int(rng.integers(0, h - 4))
+        cx = int(rng.integers(0, w - 4))
+        rh = int(rng.integers(3, 18))
+        rw = int(rng.integers(3, 18))
+        c = rng.uniform(0, 1, 3)
+        a = rng.uniform(0.4, 0.9)
+        img[cy:cy + rh, cx:cx + rw] = (
+            (1 - a) * img[cy:cy + rh, cx:cx + rw] + a * c[None, None])
+    import cv2
+    noise = rng.normal(0, 1, (h, w, 1)).astype(np.float32)
+    noise = cv2.GaussianBlur(noise, (0, 0), 1.2)[..., None]
+    img = np.clip(img + 0.08 * noise, 0, 1)
     return (img * 255).astype(np.uint8)
 
 

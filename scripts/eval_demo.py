@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""End-to-end benchmark-harness proof: SIFT -> NN -> RANSAC -> pose AUC.
+
+Runs the full evaluation chain on synthetic scenes with known geometry:
+classical SIFT keypoints (models/sift_based.py — needs no trained
+weights), the batched NN matcher, our LO-RANSAC pose estimator, and the
+reference's metric protocol (validation_error + pose_auc @5/10/20,
+dloc/evaluate/eval_megadepth.py:35-77 semantics). Produces a REAL pose
+AUC table — evidence that the eval harness composes end-to-end, not
+just that its pieces unit-test.
+
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=40)
+    ap.add_argument("--hw", type=int, default=240)
+    ap.add_argument("--topk", type=int, default=1024)
+    args = ap.parse_args()
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oetr_tpu.data.megadepth import MegaDepthPairsDataset
+    from oetr_tpu.data.synthetic import generate_scene
+    from oetr_tpu.evalx.metrics import pose_auc
+    from oetr_tpu.evalx.twoview import validation_error
+    from oetr_tpu.models.matchers import nearest_neighbor_match
+    from oetr_tpu.models.sift_based import sift_keypoints
+
+    t0 = time.time()
+    tmp = tempfile.mkdtemp(prefix="oetr_evaldemo_")
+    pairs_txt = generate_scene(tmp, n_pairs=args.pairs, image_hw=args.hw,
+                               max_shift_px=60, seed=11)
+    ds = MegaDepthPairsDataset(tmp, pairs_txt, image_size=(args.hw, args.hw),
+                               train=False)
+
+    errors, precisions, mscores, n_matches = [], [], [], []
+    for i in range(len(ds)):
+        item = ds[i]
+        g0 = (cv2.cvtColor((item["image1"] * 255).astype(np.uint8),
+                           cv2.COLOR_RGB2GRAY))
+        g1 = (cv2.cvtColor((item["image2"] * 255).astype(np.uint8),
+                           cv2.COLOR_RGB2GRAY))
+        xy0, s0, v0, d0 = sift_keypoints(g0, args.topk,
+                                         with_descriptors=True)
+        xy1, s1, v1, d1 = sift_keypoints(g1, args.topk,
+                                         with_descriptors=True)
+        m = nearest_neighbor_match(jnp.asarray(d0)[None],
+                                   jnp.asarray(d1)[None],
+                                   jnp.asarray(v0)[None],
+                                   jnp.asarray(v1)[None],
+                                   ratio_threshold=0.9)
+        matches0 = np.asarray(m["matches0"][0])
+        sel = matches0 > -1
+        matches = np.stack([np.nonzero(sel)[0], matches0[sel]])
+        n_matches.append(matches.shape[1])
+
+        T_0to1 = item["pose2"] @ np.linalg.inv(item["pose1"])
+        res = validation_error(xy0, xy1, matches, item["intrinsics1"],
+                               item["intrinsics2"], T_0to1)
+        errors.append(max(res["error_t"], res["error_R"]))
+        precisions.append(res["precision"])
+        mscores.append(res["matching_score"])
+
+    aucs = pose_auc(errors, [5, 10, 20])
+    print(json.dumps({
+        "metric": "synthetic_sift_nn_pose_auc",
+        "pairs": args.pairs, "hw": args.hw,
+        "auc@5": round(float(aucs[0]), 4),
+        "auc@10": round(float(aucs[1]), 4),
+        "auc@20": round(float(aucs[2]), 4),
+        "precision": round(float(np.mean(precisions)), 4),
+        "matching_score": round(float(np.mean(mscores)), 4),
+        "matches_per_pair": round(float(np.mean(n_matches)), 1),
+        "failed_pairs": int(np.sum(~np.isfinite(errors))),
+        "wall_s": round(time.time() - t0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

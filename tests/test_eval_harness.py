@@ -136,3 +136,47 @@ def test_scene_results_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(ip0, ip["a-b"])
     np.testing.assert_allclose(ip1, ip["b-a"])
     sr.close()
+
+
+@pytest.mark.slow
+def test_sift_nn_pose_auc_end_to_end(tmp_path):
+    """Full chain on synthetic planar scenes: SIFT -> NN -> RANSAC
+    (homography fallback regime) -> reference metric protocol. Small
+    version of scripts/eval_demo.py; asserts meaningful pose AUC."""
+    import cv2
+    import jax.numpy as jnp
+
+    from oetr_tpu.data.megadepth import MegaDepthPairsDataset
+    from oetr_tpu.data.synthetic import generate_scene
+    from oetr_tpu.evalx.metrics import pose_auc
+    from oetr_tpu.evalx.twoview import validation_error
+    from oetr_tpu.models.matchers import nearest_neighbor_match
+    from oetr_tpu.models.sift_based import sift_keypoints
+
+    pairs_txt = generate_scene(str(tmp_path), n_pairs=8, image_hw=200,
+                               max_shift_px=50, seed=11)
+    ds = MegaDepthPairsDataset(str(tmp_path), pairs_txt,
+                               image_size=(200, 200), train=False)
+    errors = []
+    for i in range(len(ds)):
+        item = ds[i]
+        g0 = cv2.cvtColor((item["image1"] * 255).astype(np.uint8),
+                          cv2.COLOR_RGB2GRAY)
+        g1 = cv2.cvtColor((item["image2"] * 255).astype(np.uint8),
+                          cv2.COLOR_RGB2GRAY)
+        xy0, _, v0, d0 = sift_keypoints(g0, 512, with_descriptors=True)
+        xy1, _, v1, d1 = sift_keypoints(g1, 512, with_descriptors=True)
+        m = nearest_neighbor_match(jnp.asarray(d0)[None],
+                                   jnp.asarray(d1)[None],
+                                   jnp.asarray(v0)[None],
+                                   jnp.asarray(v1)[None],
+                                   ratio_threshold=0.9)
+        matches0 = np.asarray(m["matches0"][0])
+        sel = matches0 > -1
+        matches = np.stack([np.nonzero(sel)[0], matches0[sel]])
+        T_0to1 = item["pose2"] @ np.linalg.inv(item["pose1"])
+        res = validation_error(xy0, xy1, matches, item["intrinsics1"],
+                               item["intrinsics2"], T_0to1)
+        errors.append(max(res["error_t"], res["error_R"]))
+    aucs = pose_auc(errors, [10])
+    assert aucs[0] > 0.6, (aucs, errors)

@@ -121,3 +121,59 @@ def ring_attention(q: Array, k: Array, v: Array, mesh: Mesh,
         out_specs=P(),
         check_vma=False)
     return fn(q, k, v, kv_mask)
+
+
+def ulysses_attention(q: Array, k: Array, v: Array, mesh: Mesh,
+                      axis: str = "seq",
+                      kv_mask: Array | None = None) -> Array:
+    """Ulysses-style sequence parallelism: all-to-all heads <-> sequence.
+
+    The cheaper SP alternative for multi-head blocks (SURVEY.md §2.7):
+    inputs arrive sequence-sharded along ``axis``; one all-to-all
+    redistributes them head-sharded (each device holds H/n full-length
+    heads), attention runs locally with NO communication, and a second
+    all-to-all restores the sequence sharding. Two all-to-alls total vs
+    the ring's n ppermute hops — wins when H >= axis size and the
+    interconnect favors bulk transfers.
+
+    Args:
+      q: [B, L, H, D]; k, v: [B, S, H, D]; H divisible by the axis size.
+      kv_mask: optional [B, S] bool.
+    Returns [B, L, H, D] full softmax attention (XLA op semantics).
+    """
+    from ..ops.attention import full_attention
+
+    b, s = k.shape[0], k.shape[1]
+    n = mesh.shape[axis]
+    if q.shape[2] % n != 0:
+        raise ValueError(f"heads {q.shape[2]} not divisible by mesh axis "
+                         f"{axis}={n}")
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, s), bool)
+
+    def local_fn(q_blk, k_blk, v_blk, m):
+        # [B, L/n, H, D] -> all-to-all -> [B, L, H/n, D]: split the head
+        # axis across devices, concat the sequence axis.
+        def seq_to_head(x):
+            return jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1,
+                                      tiled=True)
+
+        def head_to_seq(x):
+            return jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
+                                      tiled=True)
+
+        qh = seq_to_head(q_blk)
+        kh = seq_to_head(k_blk)
+        vh = seq_to_head(v_blk)
+        # kv_mask is sequence-sharded [B, S/n]; gather the full length.
+        m_full = jax.lax.all_gather(m, axis, axis=1, tiled=True)
+        out = full_attention(qh, kh, vh, None, m_full)
+        return head_to_seq(out)
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis)),
+        out_specs=P(None, axis),
+        check_vma=False)
+    return fn(q, k, v, kv_mask)

@@ -37,11 +37,34 @@ def _scene_of(name: str) -> str:
     return "."
 
 
+def _native_batch(paths0, paths1, cfg, resize_max):
+    """Assemble the pipeline batch via the C++ data service (threaded
+    JPEG decode + resize, data/native.py) — same arrays as the Python
+    prepare_image path (parity pinned by tests/test_native.py)."""
+    from ..data.native import prepare_batch_native
+
+    out = {}
+    for side, paths in (("0", paths0), ("1", paths1)):
+        b = prepare_batch_native(paths, cfg.canvas_hw, cfg.oetr_hw,
+                                 resize_max)
+        out["image" + side] = b["canvas"]
+        out["full_hw" + side] = b["valid_hw"]
+        out["oetr_img" + side] = b["oetr_image"]
+        out["scales" + side] = b["oetr_scale"]
+        out["scale_to_orig" + side] = b["scale_to_orig"]
+    return out
+
+
 def run_benchmark(pipeline, pairs_file: str, dataset_path: str,
                   results_dir: str, batch_size: int = 8,
                   with_overlap: bool = True, resize_max: int | None = 1024,
-                  pairwise: bool = True, write_inparams: bool = False) -> dict:
-    """Match every pair; write per-scene h5; return simple run stats."""
+                  pairwise: bool = True, write_inparams: bool = False,
+                  use_native: bool = False) -> dict:
+    """Match every pair; write per-scene h5; return simple run stats.
+
+    ``use_native=True`` routes image loading through the C++ data
+    service (threaded decode; falls back to Python if unavailable).
+    """
     cfg = pipeline.cfg
     pairs = load_eval_pairs(pairs_file)
     by_scene_kpts: dict[str, dict] = defaultdict(dict)
@@ -49,15 +72,25 @@ def run_benchmark(pipeline, pairs_file: str, dataset_path: str,
     by_scene_inparams: dict[str, dict] = defaultdict(dict)
     n_matches_total = 0
 
+    if use_native:
+        from ..data.native import native_available
+        use_native = native_available()
+
     for start in range(0, len(pairs), batch_size):
         chunk = pairs[start:start + batch_size]
-        p0s = [prepare_image(read_image(os.path.join(dataset_path, p.name0)),
-                             cfg.canvas_hw, cfg.oetr_hw, resize_max)
-               for p in chunk]
-        p1s = [prepare_image(read_image(os.path.join(dataset_path, p.name1)),
-                             cfg.canvas_hw, cfg.oetr_hw, resize_max)
-               for p in chunk]
-        batch = batch_pairs(p0s, p1s)
+        if use_native:
+            batch = _native_batch(
+                [os.path.join(dataset_path, p.name0) for p in chunk],
+                [os.path.join(dataset_path, p.name1) for p in chunk],
+                cfg, resize_max)
+        else:
+            p0s = [prepare_image(
+                read_image(os.path.join(dataset_path, p.name0)),
+                cfg.canvas_hw, cfg.oetr_hw, resize_max) for p in chunk]
+            p1s = [prepare_image(
+                read_image(os.path.join(dataset_path, p.name1)),
+                cfg.canvas_hw, cfg.oetr_hw, resize_max) for p in chunk]
+            batch = batch_pairs(p0s, p1s)
         out = pipeline(
             jnp.asarray(batch["image0"]), jnp.asarray(batch["image1"]),
             jnp.asarray(batch["full_hw0"]), jnp.asarray(batch["full_hw1"]),

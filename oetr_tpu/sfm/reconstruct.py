@@ -232,9 +232,17 @@ def export_colmap(path: str, image_names: list[str], K: np.ndarray,
 
 def export_database(db_path: str, image_names: list[str], K: np.ndarray,
                     keypoints: list[np.ndarray],
-                    matches: dict[tuple[int, int], np.ndarray]) -> None:
+                    matches: dict[tuple[int, int], np.ndarray],
+                    two_view: dict[tuple[int, int], dict] | None = None
+                    ) -> None:
     """Write the raw matching products into a COLMAP SQLite database
-    (the reference's dormant L6 path, dloc/core/utils/database.py:138)."""
+    (the reference's dormant L6 path, dloc/core/utils/database.py:138).
+
+    ``two_view`` optionally maps (i, j) -> {'E','F','H','matches'}
+    (verified geometry; matches [2, M] inlier index pairs) and fills the
+    two_view_geometries table (ref: database.py:236-260) so COLMAP can
+    skip its own verification pass.
+    """
     from .database import COLMAPDatabase
 
     db = COLMAPDatabase.connect(db_path)
@@ -251,6 +259,13 @@ def export_database(db_path: str, image_names: list[str], K: np.ndarray,
             db.add_keypoints(ids[i], np.asarray(kp, np.float32))
         for (i, j), m in matches.items():
             db.add_matches(ids[i], ids[j], np.asarray(m).T)
+        if two_view:
+            for (i, j), g in two_view.items():
+                db.add_two_view_geometry(
+                    ids[i], ids[j], np.asarray(g["matches"]).T,
+                    F=np.asarray(g.get("F", np.eye(3))),
+                    E=np.asarray(g.get("E", np.eye(3))),
+                    H=np.asarray(g.get("H", np.eye(3))))
         db.commit()
     finally:
         db.close()

@@ -88,13 +88,18 @@ def test_reconstruct_end_to_end(tmp_path, rng):
     assert len(cameras) == len(K) and len(images) == len(K)
     assert len(points3D) == int(pv.sum())
 
-    export_database(str(tmp_path / "db.db"), names, K, keypoints, matches)
+    two_view = {pair: {"matches": m, "E": np.eye(3)}
+                for pair, m in list(matches.items())[:3]}
+    export_database(str(tmp_path / "db.db"), names, K, keypoints, matches,
+                    two_view=two_view)
     import sqlite3
     con = sqlite3.connect(str(tmp_path / "db.db"))
     n_img = con.execute("SELECT COUNT(*) FROM images").fetchone()[0]
     n_m = con.execute("SELECT COUNT(*) FROM matches").fetchone()[0]
+    n_tv = con.execute(
+        "SELECT COUNT(*) FROM two_view_geometries").fetchone()[0]
     con.close()
-    assert n_img == len(K) and n_m == len(matches)
+    assert n_img == len(K) and n_m == len(matches) and n_tv == 3
 
 
 @pytest.mark.quick

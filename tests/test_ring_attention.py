@@ -107,3 +107,19 @@ def test_oetr_forward_with_ring_attention(rng):
         b_ring = boxes("full:ring")
     np.testing.assert_allclose(b_ring[0], b_full[0], atol=1e-3)
     np.testing.assert_allclose(b_ring[1], b_full[1], atol=1e-3)
+
+
+def test_ulysses_matches_full(rng):
+    """Ulysses head-sharding (all-to-all heads<->sequence) == full
+    attention — the cheap SP alternative SURVEY §2.7 calls for."""
+    from oetr_tpu.parallel import ulysses_attention
+
+    b, l, h, d = 2, 64, 8, 16
+    q = jnp.asarray(rng.normal(0, 0.3, (b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.3, (b, l, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1.0, (b, l, h, d)).astype(np.float32))
+    km = jnp.asarray(np.arange(l) < 48)[None].repeat(b, 0)
+
+    ref = full_attention(q, k, v, None, km)
+    out = ulysses_attention(q, k, v, _mesh(), "seq", kv_mask=km)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

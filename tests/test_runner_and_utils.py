@@ -242,3 +242,54 @@ def test_pair_generator(tmp_path, rng):
 
     # scale_diff sanity.
     assert scale_diff([0, 0, 10, 10], [0, 0, 20, 20]) == 2.0
+
+
+def test_runner_native_loader_matches_python(tmp_path, rng):
+    """use_native=True produces the same keypoints/matches as the Python
+    image path (the C++ data service wired into the benchmark runner)."""
+    from oetr_tpu.data.native import native_available
+    if not native_available():
+        pytest.skip("native data service unavailable")
+
+    from oetr_tpu.models import SuperPoint, nearest_neighbor_match
+    from oetr_tpu.pipelines import PipelineConfig, SparsePipeline
+    from oetr_tpu.pipelines.runner import run_benchmark
+
+    ds = tmp_path / "data"
+    os.makedirs(ds / "mega" / "scene0", exist_ok=True)
+    img = (rng.uniform(0, 255, (12, 12, 3))).astype(np.uint8)
+    img = cv2.resize(img, (96, 96), interpolation=cv2.INTER_NEAREST)
+    names = []
+    for i in range(2):
+        n = f"mega/scene0/im{i}.jpg"
+        cv2.imwrite(str(ds / n), img)
+        names.append(n)
+    K = np.array([[100.0, 0, 48], [0, 100.0, 48], [0, 0, 1]])
+    T = np.eye(4)
+    pairs_file = tmp_path / "pairs.txt"
+    with open(pairs_file, "w") as f:
+        fields = ([names[0], names[1]]
+                  + [str(x) for x in K.reshape(-1)] * 2
+                  + [str(x) for x in T.reshape(-1)] + ["0"] * 8)
+        f.write(" ".join(fields) + "\n")
+
+    cfg = PipelineConfig(oetr_hw=(64, 64), canvas_hw=(96, 96),
+                         fallback_min_matches=0)
+    sp = SuperPoint(max_keypoints=64, keypoint_threshold=1e-5, nms_radius=2)
+    sp_params = sp.init(jax.random.key(0), jnp.zeros((1, 96, 96, 1)))
+    match_fn = lambda data: nearest_neighbor_match(
+        data["descriptors0"], data["descriptors1"],
+        data["valid0"], data["valid1"])
+    pipe = SparsePipeline(sp, sp_params, match_fn, cfg=cfg)
+
+    from oetr_tpu.utils.h5io import SceneResults
+    res = {}
+    for tag, native in (("py", False), ("nat", True)):
+        outdir = tmp_path / "results" / tag
+        run_benchmark(pipe, str(pairs_file), str(ds), str(outdir),
+                      batch_size=1, with_overlap=False, use_native=native)
+        sr = SceneResults(str(outdir), "scene0", pairwise=True)
+        res[tag] = sr.pair(names[0], names[1])
+        sr.close()
+    np.testing.assert_allclose(res["py"][0], res["nat"][0], atol=1.0)
+    assert res["py"][2].shape == res["nat"][2].shape

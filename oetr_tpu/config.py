@@ -18,6 +18,10 @@ class BackboneConfig:
     stop_layer: str = "layer3"      # 'layer3' (stride 16) | 'layer4' (stride 32)
     last_layer: int = 1024          # channels at stop_layer (cfg.BACKBONE.LAST_LAYER)
     norm: str = "gn"                # 'gn' (TPU-friendly default) | 'ln'
+                                    # | 'bn' (frozen stats; converted ckpts)
+    stem_s2d: bool = False          # space-to-depth stem (resnet.py) —
+                                    # exact 7x7/s2 equivalent, 4x MXU
+                                    # occupancy on the 3-channel stem
     norm_input: bool = True         # (x - 0.45) / 0.225, backbone.py:162-163
 
 

@@ -161,6 +161,7 @@ class OETR(nn.Module):
                                  stop_layer=cfg.backbone.stop_layer,
                                  norm=cfg.backbone.norm,
                                  norm_input=cfg.backbone.norm_input,
+                                 stem_s2d=cfg.backbone.stem_s2d,
                                  dtype=dtype, name="backbone")
         input_proj = nn.Conv(d, (1, 1), dtype=dtype, name="input_proj")
         patch_merge = PatchMerging(d, cfg.neck.patch_sizes, dtype=dtype,

@@ -128,6 +128,7 @@ class ResNetEncoder(nn.Module):
     stop_layer: str = "layer3"
     norm: str = "gn"
     norm_input: bool = True
+    stem_s2d: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -141,9 +142,25 @@ class ResNetEncoder(nn.Module):
             x = (x - 0.45) / 0.225
         x = x.astype(self.dtype)
 
-        # Stem: conv7x7/s2 + norm + relu + maxpool3x3/s2.
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype)(x)
+        if self.stem_s2d:
+            # Space-to-depth stem (TPU MLPerf ResNet trick): a 3-channel
+            # 7x7/s2 conv runs the MXU at 3/128 input-channel utilization;
+            # folding 2x2 pixel blocks into channels ([B,H,W,3] ->
+            # [B,H/2,W/2,12]) and using the exactly-equivalent 4x4/s1
+            # conv (7x7 kernel zero-padded to 8x8, pixel-phase
+            # interleaved — see space_to_depth_kernel) quadruples MXU
+            # occupancy on the most bandwidth-bound layer.
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2,
+                                                      4 * c)
+            x = nn.Conv(64, (4, 4), strides=(1, 1),
+                        padding=((2, 1), (2, 1)), use_bias=False,
+                        dtype=self.dtype)(x)
+        else:
+            # Stem: conv7x7/s2 (+ norm + relu + maxpool3x3/s2 below).
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                        use_bias=False, dtype=self.dtype)(x)
         x = make_norm()(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -157,6 +174,21 @@ class ResNetEncoder(nn.Module):
                 x = Block(widths[stage], stride=stride, norm=self.norm,
                           dtype=self.dtype)(x)
         return x
+
+
+def space_to_depth_kernel(k7: Array) -> Array:
+    """Map a [7, 7, C, O] stride-2 stem kernel to the exactly-equivalent
+    [4, 4, 4C, O] kernel for the space-to-depth stem.
+
+    Zero-pad to 8x8 at the top-left (K8[u, v] = K7[u-1, v-1]), then
+    interleave pixel phases: K'[p, q, (dy, dx, c)] = K8[2p+dy, 2q+dx, c],
+    matching the (dy, dx, c) channel order of the s2d reshape.
+    """
+    c, o = k7.shape[2], k7.shape[3]
+    k8 = jnp.zeros((8, 8, c, o), k7.dtype).at[1:, 1:].set(k7)
+    # [8, 8, C, O] -> [4, dy, 4, dx, C, O] -> [4, 4, dy, dx, C, O]
+    k = k8.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+    return k.reshape(4, 4, 4 * c, o)
 
 
 def backbone_channels(depth: int, stop_layer: str) -> int:

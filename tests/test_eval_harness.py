@@ -180,3 +180,46 @@ def test_sift_nn_pose_auc_end_to_end(tmp_path):
         errors.append(max(res["error_t"], res["error_R"]))
     aucs = pose_auc(errors, [10])
     assert aucs[0] > 0.6, (aucs, errors)
+
+
+@pytest.mark.slow
+def test_hpatches_mma_end_to_end(rng):
+    """HPatches protocol on synthetic warps: texture -> known homography
+    -> SIFT -> NN -> MMA table. The viewpoint-split MMA@3 must be high
+    for correct matching under the GT H."""
+    import cv2
+    import jax.numpy as jnp
+
+    from oetr_tpu.data.synthetic import _texture
+    from oetr_tpu.evalx.hpatches import benchmark_results
+    from oetr_tpu.models.matchers import nearest_neighbor_match
+    from oetr_tpu.models.sift_based import sift_keypoints
+
+    records = []
+    for s in range(3):
+        g = np.random.default_rng(100 + s)
+        base = cv2.cvtColor(_texture(g, 240, 240), cv2.COLOR_RGB2GRAY)
+        for k in range(2):
+            # Mild projective warp around the center.
+            src = np.float32([[0, 0], [240, 0], [240, 240], [0, 240]])
+            dst = src + g.uniform(-25, 25, (4, 2)).astype(np.float32)
+            H = cv2.getPerspectiveTransform(src, dst)
+            warped = cv2.warpPerspective(base, H, (240, 240))
+            xy0, _, v0, d0 = sift_keypoints(base, 512,
+                                            with_descriptors=True)
+            xy1, _, v1, d1 = sift_keypoints(warped, 512,
+                                            with_descriptors=True)
+            m = nearest_neighbor_match(jnp.asarray(d0)[None],
+                                       jnp.asarray(d1)[None],
+                                       jnp.asarray(v0)[None],
+                                       jnp.asarray(v1)[None],
+                                       ratio_threshold=0.9)
+            matches0 = np.asarray(m["matches0"][0])
+            sel = matches0 > -1
+            matches = np.stack([np.nonzero(sel)[0], matches0[sel]], -1)
+            records.append({"seq_name": f"v_synth{s}", "H_gt": H,
+                            "kpts0": xy0, "kpts1": xy1,
+                            "matches": matches})
+    table = benchmark_results(records)
+    assert table["viewpoint"][3] > 0.6, table["viewpoint"]
+    assert table["viewpoint"][15] >= table["viewpoint"][1]

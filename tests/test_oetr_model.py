@@ -148,3 +148,25 @@ def test_profiling_helpers(tmp_path):
     w.close()
     import os
     assert len(os.listdir(tmp_path / "tb")) >= 1
+
+
+@pytest.mark.quick
+def test_stem_s2d_exact_equivalence(rng):
+    """Space-to-depth stem == 7x7/s2 stem after kernel remapping (the
+    TPU MXU-occupancy optimization must not change the math)."""
+    import flax
+
+    from oetr_tpu.models.resnet import ResNetEncoder, space_to_depth_kernel
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    enc = ResNetEncoder(depth=18, stop_layer="layer2", norm="gn")
+    p = enc.init(jax.random.key(0), x)
+    enc2 = ResNetEncoder(depth=18, stop_layer="layer2", norm="gn",
+                         stem_s2d=True)
+    f = flax.traverse_util.flatten_dict(p["params"])
+    f2 = dict(f)
+    f2[("Conv_0", "kernel")] = space_to_depth_kernel(f[("Conv_0", "kernel")])
+    p2 = {"params": flax.traverse_util.unflatten_dict(f2)}
+    o1 = enc.apply(p, x)
+    o2 = enc2.apply(p2, x)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-4)

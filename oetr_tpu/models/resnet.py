@@ -11,7 +11,7 @@ this build trains from scratch (SURVEY.md §7 "pretrained-weight gap").
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -58,6 +58,11 @@ def log_optimal_transport(scores: Array, alpha: Array, iters: int,
       dustbins absorb the unmatched).
     """
     b, m, n = scores.shape
+    # OT iterations run in f32 regardless of the model's compute dtype:
+    # 20-30 alternating logsumexp normalizations drift visibly in bf16
+    # (SURVEY.md §7 "Sinkhorn numerical parity ... without drift"), and
+    # the [M, N] matrix is small next to the GNN that produced it.
+    scores = scores.astype(jnp.float32)
     dtype = scores.dtype
     if mask0 is None:
         mask0 = jnp.ones((b, m), bool)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.images import batch_pairs, prepare_image, read_image
-from ..data.pairs import EvalPair, load_eval_pairs
+from ..data.pairs import load_eval_pairs
 from ..utils.h5io import pair_key, save_scene_results, stem
 
 

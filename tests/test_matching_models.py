@@ -173,3 +173,21 @@ def test_disk_brute_match(rng):
     inv[perm] = np.arange(20)
     assert (m[kept] == inv[np.nonzero(kept)[0]]).all()
     assert set(np.asarray(out["matching_scores0"][0])[kept]) == {1.0}
+
+
+@pytest.mark.quick
+def test_sinkhorn_bf16_inputs_no_drift(rng):
+    """bf16 GNN scores through the OT solver match the f32 oracle: the
+    iterations are pinned to f32 internally (mixed-precision policy)."""
+    import jax.numpy as jnp
+
+    from oetr_tpu.ops.sinkhorn import log_optimal_transport
+
+    scores = rng.normal(0, 1, (2, 40, 48)).astype(np.float32)
+    ref = log_optimal_transport(jnp.asarray(scores), 0.7, 30)
+    out = log_optimal_transport(jnp.asarray(scores, jnp.bfloat16), 0.7, 30)
+    assert out.dtype == jnp.float32
+    # bf16 quantizes the INPUT scores (~1e-2 relative); the iterations
+    # themselves add no further drift.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.05, rtol=0.05)

@@ -8,3 +8,8 @@ python -m oetr_tpu.training.cli \
     --batch_size "${BATCH_SIZE:-8}" --epochs "${EPOCHS:-35}" \
     --pairs_per_epoch "${PAIRS_PER_EPOCH:-128000}" \
     --save_path "${SAVE_PATH:-checkpoints}" "$@"
+# Useful extra flags (pass through "$@"):
+#   --resume                         resume from the latest checkpoint
+#   --tp N --fsdp M                  tensor-parallel / FSDP mesh axes
+#   --coordinator host:port --num_processes P --process_id I
+#                                    multi-host (jax.distributed) launch

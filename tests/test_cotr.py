@@ -24,6 +24,7 @@ def test_cotr_forward_shapes(rng):
     assert o.min() >= 0.0 and o.max() <= 1.0   # sigmoid range
 
 
+@pytest.mark.slow
 def test_cotr_match_contract(rng):
     model = _tiny_cotr()
     im0 = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))

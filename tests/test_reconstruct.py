@@ -43,6 +43,7 @@ def _make_scene(rng, n_cams=6, n_pts=80, noise_px=0.5):
     return pts, K, cams_gt, keypoints, matches
 
 
+@pytest.mark.slow
 def test_reconstruct_end_to_end(tmp_path, rng):
     from oetr_tpu.evalx.trajectory import absolute_trajectory_error
     from oetr_tpu.sfm import (export_colmap, export_database, read_model,

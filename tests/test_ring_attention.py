@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 from oetr_tpu.ops import full_attention
@@ -78,6 +79,7 @@ def test_model_dispatch_full_ring_requires_context(rng):
         _attend("full:ring", q, q, q, None, None)
 
 
+@pytest.mark.slow
 def test_oetr_forward_with_ring_attention(rng):
     """Full OETR forward with attention='full:ring' == 'full' oracle —
     the stride-16 long-sequence config is actually reachable end-to-end."""

@@ -11,4 +11,7 @@ __all__ = [
     "warped_box_via_depth", "TrainState", "create_train_state",
     "load_checkpoint", "make_optimizer", "make_train_step",
     "multistep_schedule", "save_checkpoint", "shard_train_state", "evaluate",
+    "make_superglue_train_step", "superglue_nll_loss",
 ]
+from .superglue import (make_superglue_train_step,  # noqa: E402,F401
+                        superglue_nll_loss)

@@ -35,10 +35,14 @@ class SuperPointNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, image: Array) -> tuple[Array, Array]:
+    def __call__(self, image: Array,
+                 with_logits: bool = False):
         """image: [B, H, W, 1] in [0, 1]. H, W divisible by 8.
 
-        Returns: scores [B, H, W], desc [B, H/8, W/8, D] (unit norm).
+        Returns: scores [B, H, W], desc [B, H/8, W/8, D] (unit norm);
+        with_logits=True additionally returns the raw 65-way cell logits
+        [B, H/8, W/8, 65] (training target of the MagicPoint-style
+        detector loss, training/superpoint.py).
         """
         x = image.astype(self.dtype)
         relu = nn.relu
@@ -77,6 +81,8 @@ class SuperPointNet(nn.Module):
         desc = desc.astype(jnp.float32)
         desc = desc / jnp.maximum(
             jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+        if with_logits:
+            return scores, desc, logits.astype(jnp.float32)
         return scores, desc
 
 

@@ -12,6 +12,11 @@ __all__ = [
     "load_checkpoint", "make_optimizer", "make_train_step",
     "multistep_schedule", "save_checkpoint", "shard_train_state", "evaluate",
     "make_superglue_train_step", "superglue_nll_loss",
+    "corners_to_cell_labels", "magicpoint_loss",
+    "make_superpoint_train_step", "synthetic_shapes_batch",
 ]
 from .superglue import (make_superglue_train_step,  # noqa: E402,F401
                         superglue_nll_loss)
+from .superpoint import (corners_to_cell_labels,  # noqa: E402,F401
+                         magicpoint_loss, make_superpoint_train_step,
+                         synthetic_shapes_batch)

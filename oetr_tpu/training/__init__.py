@@ -14,9 +14,12 @@ __all__ = [
     "make_superglue_train_step", "superglue_nll_loss",
     "corners_to_cell_labels", "magicpoint_loss",
     "make_superpoint_train_step", "synthetic_shapes_batch",
+    "loftr_coarse_loss", "make_loftr_train_step", "shift_pair_gt",
 ]
 from .superglue import (make_superglue_train_step,  # noqa: E402,F401
                         superglue_nll_loss)
 from .superpoint import (corners_to_cell_labels,  # noqa: E402,F401
                          magicpoint_loss, make_superpoint_train_step,
                          synthetic_shapes_batch)
+from .loftr import (loftr_coarse_loss, make_loftr_train_step,  # noqa: E402,F401
+                    shift_pair_gt)

@@ -26,8 +26,11 @@ import os
 import time
 
 T0 = time.perf_counter()
-# Driver budget: leave headroom for process startup/teardown.
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+# Driver budget: leave headroom for process startup/teardown. The first
+# forward on the axon tunnel costs 240-420 s even with a warm
+# compilation cache (one-time executable + params load), so the budget
+# must cover that plus one large-batch stage.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
 
 os.makedirs(os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"),
             exist_ok=True)
@@ -98,9 +101,10 @@ def main():
 
     # Stages 2-3: larger batches, each gated on remaining budget (a cold
     # compile of a skipped stage can't sink the artifact; warm runs walk
-    # all stages). Batch 64 measured +13% over 16 on v5e (PERF.md).
-    for batch, iters in ((16, 10), (64, 5)):
-        if _remaining() < 120.0:
+    # all stages). Batch 64 measured +13% over 16 on v5e (PERF.md) and
+    # goes first so a tight budget still captures the best number.
+    for batch, iters in ((64, 5), (16, 10)):
+        if _remaining() < 110.0:
             break
         try:
             pps = measure(batch, iters)

@@ -56,13 +56,20 @@ def _texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
 
 def generate_scene(base: str, n_pairs: int = 64, image_hw: int = 160,
                    depth_z: float = 10.0, focal: float = 120.0,
-                   max_shift_px: int = 48, seed: int = 0) -> str:
+                   max_shift_px: int = 48, seed: int = 0,
+                   scale_range: tuple[float, float] = (1.0, 1.0)) -> str:
     """Write images/depths/pairs.txt under ``base``; return pairs path.
 
-    Each pair: two crops of one texture plane related by a pure camera
-    translation at constant depth z — image2's content is image1's
-    shifted by (fx*tx/z, fy*ty/z) pixels, and the GT overlap boxes the
-    data layer recomputes online are exact rectangles.
+    Each pair: two crops of one texture plane related by camera motion at
+    constant depth. With ``scale_range == (1, 1)`` the motion is a pure
+    lateral translation — image2 is image1 shifted by (fx*tx/z, fy*ty/z)
+    pixels. With ``scale_range`` above 1, camera 2 additionally dollies
+    toward the plane (tz = z*(1-1/s)): image2 is an s-times magnified
+    sub-crop of the canvas — the scale-difference regime OETR exists for
+    (the reference trains on pairs with scale_diff > 2,
+    /root/reference/src/utils/megadepth_preprocess.py:199-220). GT
+    overlap boxes are recomputed online by the real geometry path either
+    way.
     """
     rng = np.random.default_rng(seed)
     import cv2
@@ -79,25 +86,47 @@ def generate_scene(base: str, n_pairs: int = 64, image_hw: int = 160,
 
     lines = []
     pad = max_shift_px
+    pp = hw / 2.0
     for i in range(n_pairs):
         canvas = _texture(rng, hw + 2 * pad, hw + 2 * pad)
-        dx = int(rng.integers(-max_shift_px, max_shift_px + 1))
-        dy = int(rng.integers(-max_shift_px, max_shift_px + 1))
         im1 = canvas[pad:pad + hw, pad:pad + hw]
-        im2 = canvas[pad + dy:pad + dy + hw, pad + dx:pad + dx + hw]
+        s = float(rng.uniform(*scale_range))
+        if s <= 1.0 + 1e-6:
+            # Pure lateral shift: a canvas feature at image1 pixel u
+            # appears in image2 at u - (dx, dy) -> t = -(dx, dy) * z / f.
+            dx = int(rng.integers(-max_shift_px, max_shift_px + 1))
+            dy = int(rng.integers(-max_shift_px, max_shift_px + 1))
+            im2 = canvas[pad + dy:pad + dy + hw, pad + dx:pad + dx + hw]
+            cam2 = np.array([dx * depth_z / focal,
+                             dy * depth_z / focal, 0.0])
+            depth2 = depth_z
+        else:
+            # Dolly-in: image2 sees the c x c sub-crop at (ox, oy) of the
+            # image1 frame, magnified to hw (s_eff = hw / c exactly).
+            c = max(int(round(hw / s)), 8)
+            s_eff = hw / c
+            ox = int(rng.integers(0, hw - c + 1))
+            oy = int(rng.integers(0, hw - c + 1))
+            im2 = cv2.resize(canvas[pad + oy:pad + oy + c,
+                                    pad + ox:pad + ox + c], (hw, hw),
+                             interpolation=cv2.INTER_LINEAR)
+            # Pinhole at camera center (cx_w, cy_w, tz), identity R:
+            # u2 = s*(u1 - o) requires tz = z(1 - 1/s),
+            # c_w = (z/f) * (o - pp*(1 - 1/s)).
+            tz = depth_z * (1.0 - 1.0 / s_eff)
+            cam2 = np.array([
+                depth_z / focal * (ox - pp * (1.0 - 1.0 / s_eff)),
+                depth_z / focal * (oy - pp * (1.0 - 1.0 / s_eff)), tz])
+            depth2 = depth_z - tz
         cv2.imwrite(os.path.join(base, "imgs", f"a{i}.jpg"), im1[..., ::-1])
         cv2.imwrite(os.path.join(base, "imgs", f"b{i}.jpg"), im2[..., ::-1])
-        for nm in (f"a{i}", f"b{i}"):
+        for nm, dz in ((f"a{i}", depth_z), (f"b{i}", depth2)):
             with h5py.File(os.path.join(base, "depths", f"{nm}.h5"),
                            "w") as f:
-                f.create_dataset("/depth", data=np.full((hw, hw), depth_z,
+                f.create_dataset("/depth", data=np.full((hw, hw), dz,
                                                         np.float32))
-        # World->cam pose of camera 2: a canvas feature at image1 pixel
-        # u appears in image2 at u - (dx, dy), so the projection must
-        # shift by -(dx, dy): t = -(dx, dy) * z / f.
         pose2 = np.eye(4)
-        pose2[0, 3] = -dx * depth_z / focal
-        pose2[1, 3] = -dy * depth_z / focal
+        pose2[:3, 3] = -cam2            # world->cam: t = -R c, R = I
         P2 = ",".join(str(x) for x in pose2.reshape(-1))
         lines.append(
             f"imgs/a{i}.jpg depths/a{i}.h5 {Ks} {P1} {full_box} "

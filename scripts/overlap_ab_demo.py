@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Headline-claim demo: overlap-guided matching beats direct matching
+under scale difference (A/B through the real pipeline machinery).
+
+This is the reference's reason to exist (README.md:9 — crop to the
+co-visible region so the matcher works at equalized resolution),
+reproduced end-to-end in this framework on generatable data:
+
+  1. generate synthetic scale-difference pairs (camera 2 dollies in,
+     scale 2-3x — the regime the reference trains on, scale_diff > 2,
+     /root/reference/src/utils/megadepth_preprocess.py:199-220);
+  2. train a small OETR from scratch on them (real train loop);
+  3. on held-out pairs, match SIFT->NN->LO-RANSAC three ways:
+       direct        — full images, the with_overlap=False path;
+       oetr-guided   — crops from the *trained* model's predicted boxes
+                       (predict -> crop-equalize -> extract -> match ->
+                       un-warp, evaluation.py:57-224 semantics);
+       gt-guided     — same, with ground-truth boxes (oracle bound);
+     and score with the reference's pose-AUC protocol
+     (dloc/evaluate/eval_megadepth.py:35-77).
+
+Prints one JSON line with the three rows. Designed for the TPU chip
+(shares the persistent compile cache); works on CPU with --steps 60.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+os.makedirs(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+            exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                 ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=700)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--train_pairs", type=int, default=256)
+    ap.add_argument("--val_pairs", type=int, default=40)
+    ap.add_argument("--hw", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--topk", type=int, default=1024)
+    args = ap.parse_args()
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oetr_tpu.config import (BackboneConfig, NeckConfig, OETRConfig,
+                                 TrainConfig)
+    from oetr_tpu.data.megadepth import MegaDepthPairsDataset
+    from oetr_tpu.data.synthetic import generate_scene
+    from oetr_tpu.evalx.metrics import pose_auc
+    from oetr_tpu.evalx.twoview import validation_error
+    from oetr_tpu.geometry.boxes import bbox_overlaps_aligned
+    from oetr_tpu.models.matchers import nearest_neighbor_match
+    from oetr_tpu.models.sift_based import sift_keypoints
+    from oetr_tpu.ops.warp import crop_resize_batch, unwarp_keypoints
+    from oetr_tpu.training import create_train_state, make_train_step
+
+    t0 = time.time()
+    hw = args.hw
+    tmp = tempfile.mkdtemp(prefix="oetr_ab_")
+    train_txt = generate_scene(os.path.join(tmp, "train"),
+                               n_pairs=args.train_pairs, image_hw=hw,
+                               seed=0, scale_range=(1.8, 3.2))
+    val_txt = generate_scene(os.path.join(tmp, "val"),
+                             n_pairs=args.val_pairs, image_hw=hw,
+                             seed=999, scale_range=(1.8, 3.2))
+    train_ds = MegaDepthPairsDataset(os.path.join(tmp, "train"), train_txt,
+                                     image_size=(hw, hw), train=True)
+    val_ds = MegaDepthPairsDataset(os.path.join(tmp, "val"), val_txt,
+                                   image_size=(hw, hw), train=False)
+
+    # --- train a small OETR on the scale-difference pairs ----------------
+    tokens = hw // 32            # layer3 stride 16 + patch-merge halving
+    model_cfg = OETRConfig(
+        backbone=BackboneConfig(depth=18, stop_layer="layer3",
+                                last_layer=256),
+        neck=NeckConfig(d_model=64, nhead=8, num_layers=2,
+                        num_decoder_layers=2, max_shape=(tokens, tokens)))
+    train_cfg = TrainConfig(batch_size=args.batch, image_size=(hw, hw),
+                            lr=args.lr, lr_milestones=(10 ** 6,))
+    model, state, tx = create_train_state(model_cfg, train_cfg,
+                                          jax.random.key(0), (hw, hw))
+    step_fn = make_train_step(model, tx, cycle=True)
+    rng = jax.random.key(1)
+    it, last_loss = 0, float("nan")
+    while it < args.steps:
+        train_ds.build_dataset()
+        for batch in train_ds.batches(args.batch):
+            if it >= args.steps:
+                break
+            rng, drop = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, drop)
+            last_loss = float(metrics["loss"])
+            if it % 50 == 0:
+                print(f"# step {it} loss {last_loss:.4f} "
+                      f"({time.time() - t0:.0f}s)", file=sys.stderr,
+                      flush=True)
+            it += 1
+
+    # --- held-out evaluation: three matching modes -----------------------
+    items = [val_ds[i] for i in range(len(val_ds))]
+    img1 = jnp.asarray(np.stack([it_["image1"] for it_ in items]))
+    img2 = jnp.asarray(np.stack([it_["image2"] for it_ in items]))
+    out = jax.jit(lambda p, a, b: model.apply(p, a, b, deterministic=True))(
+        state.params, img1, img2)
+    pred1 = np.asarray(out["pred_bbox1"], np.float64)
+    pred2 = np.asarray(out["pred_bbox2"], np.float64)
+    gt1 = np.stack([it_["overlap_box1"] for it_ in items]).astype(np.float64)
+    gt2 = np.stack([it_["overlap_box2"] for it_ in items]).astype(np.float64)
+    iou1 = np.asarray(bbox_overlaps_aligned(jnp.asarray(pred1), jnp.asarray(gt1)))
+    iou2 = np.asarray(bbox_overlaps_aligned(jnp.asarray(pred2), jnp.asarray(gt2)))
+
+    def clamp_boxes(b):
+        b = np.asarray(b, np.float64).copy()
+        b[:, 0::2] = np.clip(b[:, 0::2], 0, hw)
+        b[:, 1::2] = np.clip(b[:, 1::2], 0, hw)
+        # degenerate -> full image (gate rule 1, evaluation.py:100-103)
+        bad = ((b[:, 2] - b[:, 0]) < 16) | ((b[:, 3] - b[:, 1]) < 16)
+        b[bad] = [0, 0, hw, hw]
+        return b
+
+    def crops_for(boxes1, boxes2):
+        b1 = jnp.asarray(clamp_boxes(boxes1), jnp.float32)
+        b2 = jnp.asarray(clamp_boxes(boxes2), jnp.float32)
+        c1, r1, _ = crop_resize_batch(img1, b1, (hw, hw))
+        c2, r2, _ = crop_resize_batch(img2, b2, (hw, hw))
+        return (np.asarray(c1), np.asarray(r1), np.asarray(b1),
+                np.asarray(c2), np.asarray(r2), np.asarray(b2))
+
+    def run_mode(crop1, ratio1, box1, crop2, ratio2, box2):
+        errors, precisions, mscores, n_match = [], [], [], []
+        for i, it_ in enumerate(items):
+            g0 = cv2.cvtColor((crop1[i] * 255).astype(np.uint8),
+                              cv2.COLOR_RGB2GRAY)
+            g1 = cv2.cvtColor((crop2[i] * 255).astype(np.uint8),
+                              cv2.COLOR_RGB2GRAY)
+            xy0, _, v0, d0 = sift_keypoints(g0, args.topk,
+                                            with_descriptors=True)
+            xy1, _, v1, d1 = sift_keypoints(g1, args.topk,
+                                            with_descriptors=True)
+            m = nearest_neighbor_match(jnp.asarray(d0)[None],
+                                       jnp.asarray(d1)[None],
+                                       jnp.asarray(v0)[None],
+                                       jnp.asarray(v1)[None],
+                                       ratio_threshold=0.9)
+            matches0 = np.asarray(m["matches0"][0])
+            sel = matches0 > -1
+            matches = np.stack([np.nonzero(sel)[0], matches0[sel]])
+            n_match.append(matches.shape[1])
+            # canvas -> original frame (overlap_features.py:123-127)
+            u0 = np.asarray(unwarp_keypoints(
+                jnp.asarray(xy0)[None], jnp.asarray(box1[i])[None],
+                jnp.asarray(ratio1[i])[None]))[0]
+            u1 = np.asarray(unwarp_keypoints(
+                jnp.asarray(xy1)[None], jnp.asarray(box2[i])[None],
+                jnp.asarray(ratio2[i])[None]))[0]
+            T_0to1 = it_["pose2"] @ np.linalg.inv(it_["pose1"])
+            res = validation_error(u0, u1, matches, it_["intrinsics1"],
+                                   it_["intrinsics2"], T_0to1)
+            errors.append(max(res["error_t"], res["error_R"]))
+            precisions.append(res["precision"])
+            mscores.append(res["matching_score"])
+        aucs = pose_auc(errors, [5, 10, 20])
+        return {
+            "auc@5": round(float(aucs[0]), 4),
+            "auc@10": round(float(aucs[1]), 4),
+            "auc@20": round(float(aucs[2]), 4),
+            "precision": round(float(np.mean(precisions)), 4),
+            "matches_per_pair": round(float(np.mean(n_match)), 1),
+        }
+
+    full1 = np.tile([0, 0, hw, hw], (len(items), 1)).astype(np.float64)
+    modes = {
+        "direct": crops_for(full1, full1),
+        "oetr_guided": crops_for(pred1, pred2),
+        "gt_guided": crops_for(gt1, gt2),
+    }
+    rows = {name: run_mode(*data) for name, data in modes.items()}
+
+    print(json.dumps({
+        "metric": "overlap_ab_pose_auc",
+        "steps": args.steps, "hw": hw, "val_pairs": args.val_pairs,
+        "train_loss_last": round(last_loss, 4),
+        "pred_box_miou": round(float((iou1.mean() + iou2.mean()) / 2), 4),
+        **{name: row for name, row in rows.items()},
+        "wall_s": round(time.time() - t0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,3 +35,39 @@ def test_generate_scene_gt_boxes(tmp_path):
         c1 = item["image1"][y1 + 1:y1 + 1 + h, x1 + 1:x1 + 1 + w]
         c2 = item["image2"][y2 + 1:y2 + 1 + h, x2 + 1:x2 + 1 + w]
         assert np.mean(np.abs(c1 - c2)) < 0.03   # jpeg noise only
+
+
+@pytest.mark.quick
+def test_generate_scene_scale_diff_gt_boxes(tmp_path):
+    """Dolly-in pairs (scale_range > 1): GT box1 is the magnified
+    sub-region, GT box2 is (nearly) the full frame, and the scale ratio
+    between box sizes matches the commanded magnification."""
+    from oetr_tpu.data.megadepth import MegaDepthPairsDataset
+    from oetr_tpu.data.synthetic import generate_scene
+
+    hw = 128
+    pairs = generate_scene(str(tmp_path), n_pairs=4, image_hw=hw, seed=3,
+                           scale_range=(2.0, 3.0))
+    ds = MegaDepthPairsDataset(str(tmp_path), pairs, image_size=(hw, hw),
+                               train=False)
+    for i in range(4):
+        item = ds[i]
+        assert item["overlap_valid"]
+        b1 = item["overlap_box1"]
+        b2 = item["overlap_box2"]
+        w1, h1 = b1[2] - b1[0], b1[3] - b1[1]
+        w2, h2 = b2[2] - b2[0], b2[3] - b2[1]
+        # box2 covers (nearly) the whole magnified frame...
+        assert w2 > 0.95 * hw and h2 > 0.95 * hw
+        # ...box1 is the sub-region, scale in the commanded range.
+        s = (w2 / w1 + h2 / h1) / 2
+        assert 1.8 < s < 3.3, s
+        # Photometric consistency at equalized resolution: upsampling
+        # image1's box to image2's box reproduces image2's content.
+        import cv2
+        x1, y1 = int(round(b1[0])), int(round(b1[1]))
+        ww, hh = int(w1) - 2, int(h1) - 2
+        crop1 = item["image1"][y1 + 1:y1 + 1 + hh, x1 + 1:x1 + 1 + ww]
+        up = cv2.resize(crop1, (hw, hw), interpolation=cv2.INTER_LINEAR)
+        err = np.mean(np.abs(up - item["image2"]))
+        assert err < 0.12, err   # jpeg + double-resample noise only

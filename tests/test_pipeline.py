@@ -106,3 +106,48 @@ def test_pairs_parsers():
     assert p is not None
     assert p.K0[0, 0] == 2 and p.K1[0, 0] == 3 and p.T_0to1[0, 0] == 4
     np.testing.assert_allclose(p.bbox0, [0, 0, 5, 5])
+
+
+@pytest.mark.slow
+def test_fallback_rule2_retries_full_image(pipeline, rng):
+    """Fallback rule 2 (ref: overlap_features.py:215-244): when the
+    overlap-guided pass yields fewer matches than the threshold, the
+    failing pairs are re-run full-image and must reproduce the plain
+    path exactly (used_overlap cleared)."""
+    cfg = OETRConfig(
+        backbone=BackboneConfig(depth=18, stop_layer="layer3", last_layer=256),
+        neck=NeckConfig(d_model=64, nhead=4, num_layers=1,
+                        num_decoder_layers=1, max_shape=(4, 4)))
+    oetr = build_oetr(cfg)
+    od = jnp.zeros((1, 64, 64, 3))
+    oetr_params = oetr.init(jax.random.key(2), od, od)
+    pipeline.oetr = oetr
+    pipeline.oetr_params = oetr_params
+    old_cfg = pipeline.cfg
+    try:
+        # Impossible threshold -> retry always fires (frozen dataclass:
+        # swap the whole config).
+        import dataclasses
+        pipeline.cfg = dataclasses.replace(old_cfg,
+                                           fallback_min_matches=10 ** 6)
+        img = _textured_image(rng)
+        p = prepare_image(img, (96, 96), (64, 64))
+        batch = batch_pairs([p], [p])
+        args = (jnp.asarray(batch["image0"]), jnp.asarray(batch["image1"]),
+                jnp.asarray(batch["full_hw0"]), jnp.asarray(batch["full_hw1"]))
+        guided = pipeline(*args,
+                          jnp.asarray(batch["oetr_img0"]),
+                          jnp.asarray(batch["oetr_img1"]),
+                          jnp.asarray(batch["scales0"]),
+                          jnp.asarray(batch["scales1"]), with_overlap=True)
+        plain = pipeline(*args, with_overlap=False)
+        assert not bool(np.asarray(guided["used_overlap"]).any())
+        np.testing.assert_allclose(np.asarray(guided["keypoints0"]),
+                                   np.asarray(plain["keypoints0"]),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(guided["matches0"]),
+                                      np.asarray(plain["matches0"]))
+    finally:
+        pipeline.cfg = old_cfg
+        pipeline.oetr = None
+        pipeline.oetr_params = None

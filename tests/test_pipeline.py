@@ -151,3 +151,43 @@ def test_fallback_rule2_retries_full_image(pipeline, rng):
         pipeline.cfg = old_cfg
         pipeline.oetr = None
         pipeline.oetr_params = None
+
+
+@pytest.mark.slow
+def test_dense_fallback_rule2_retries_full_image(rng):
+    """Same retry contract for the dense (LoFTR) pipeline — the
+    reference applies rule 2 to every matcher (overlap_features.py:215)."""
+    from oetr_tpu.models import LoFTR
+    from oetr_tpu.pipelines import DensePipeline
+
+    loftr = LoFTR(d_coarse=32, d_fine=16, coarse_layers=1, fine_layers=1,
+                  nhead=4, max_matches=64)
+    lp = loftr.init(jax.random.key(3), jnp.zeros((1, 96, 96, 1)),
+                    jnp.zeros((1, 96, 96, 1)))
+    cfg = OETRConfig(
+        backbone=BackboneConfig(depth=18, stop_layer="layer3", last_layer=256),
+        neck=NeckConfig(d_model=64, nhead=4, num_layers=1,
+                        num_decoder_layers=1, max_shape=(4, 4)))
+    oetr = build_oetr(cfg)
+    od = jnp.zeros((1, 64, 64, 3))
+    op = oetr.init(jax.random.key(4), od, od)
+    pcfg = PipelineConfig(oetr_hw=(64, 64), canvas_hw=(96, 96),
+                          fallback_min_matches=10 ** 6)
+    pipe = DensePipeline(loftr, lp, oetr, op, cfg=pcfg)
+
+    img = _textured_image(rng)
+    p = prepare_image(img, (96, 96), (64, 64))
+    batch = batch_pairs([p], [p])
+    args = (jnp.asarray(batch["image0"]), jnp.asarray(batch["image1"]),
+            jnp.asarray(batch["full_hw0"]), jnp.asarray(batch["full_hw1"]))
+    guided = pipe(*args,
+                  jnp.asarray(batch["oetr_img0"]),
+                  jnp.asarray(batch["oetr_img1"]),
+                  jnp.asarray(batch["scales0"]),
+                  jnp.asarray(batch["scales1"]), with_overlap=True)
+    plain = pipe(*args, with_overlap=False)
+    assert not bool(np.asarray(guided["used_overlap"]).any())
+    np.testing.assert_allclose(np.asarray(guided["mkpts0"]),
+                               np.asarray(plain["mkpts0"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(guided["valid"]),
+                                  np.asarray(plain["valid"]))

@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--hw", type=int, default=256)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--topk", type=int, default=1024)
+    ap.add_argument("--ckpt_dir", type=str, default="",
+                    help="orbax checkpoint dir: resume from the latest "
+                         "step if present, save the final state")
     args = ap.parse_args()
 
     import cv2
@@ -99,8 +102,18 @@ def main():
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.key(0), (hw, hw))
     step_fn = make_train_step(model, tx, cycle=True)
+    ckpt_dir = os.path.abspath(args.ckpt_dir) if args.ckpt_dir else None
+    start_step = 0
+    if ckpt_dir:
+        from oetr_tpu.training.train import (latest_checkpoint_step,
+                                             load_checkpoint)
+        last = latest_checkpoint_step(ckpt_dir)
+        if last is not None:
+            state = load_checkpoint(ckpt_dir, last, state)
+            start_step = last
+            print(f"# resumed from step {last}", file=sys.stderr, flush=True)
     rng = jax.random.key(1)
-    it, last_loss = 0, float("nan")
+    it, last_loss = start_step, float("nan")
     while it < args.steps:
         train_ds.build_dataset()
         for batch in train_ds.batches(args.batch):
@@ -114,6 +127,11 @@ def main():
                       f"({time.time() - t0:.0f}s)", file=sys.stderr,
                       flush=True)
             it += 1
+
+    if ckpt_dir:
+        from oetr_tpu.training.train import save_checkpoint
+        save_checkpoint(ckpt_dir, state, it)
+        print(f"# saved checkpoint step {it}", file=sys.stderr, flush=True)
 
     # --- held-out evaluation: three matching modes -----------------------
     items = [val_ds[i] for i in range(len(val_ds))]

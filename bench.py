@@ -11,8 +11,8 @@ Budget discipline (round-1 post-mortem: rc=124, no number recorded):
   * the XLA persistent compilation cache is enabled under .jax_cache/ so
     a warm run skips the 5-10 min axon remote compile entirely;
   * measurement is deadline-aware: batch-1 is compiled and timed first
-    (small compile, guarantees *a* number), batch-16 only if enough
-    budget remains; exactly one JSON line is printed either way.
+    (small compile, guarantees *a* number), then batch 64 and 16 only
+    while budget remains; exactly one JSON line is printed either way.
 
 vs_baseline: denominator is the measured reference throughput from
 BASELINE.md (reference OETR forward_dummy on this host's CPU via

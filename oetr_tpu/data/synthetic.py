@@ -111,12 +111,19 @@ def generate_scene(base: str, n_pairs: int = 64, image_hw: int = 160,
                                     pad + ox:pad + ox + c], (hw, hw),
                              interpolation=cv2.INTER_LINEAR)
             # Pinhole at camera center (cx_w, cy_w, tz), identity R:
-            # u2 = s*(u1 - o) requires tz = z(1 - 1/s),
-            # c_w = (z/f) * (o - pp*(1 - 1/s)).
+            # u2 = s*(u1 - o') requires tz = z(1 - 1/s),
+            # c_w = (z/f) * (o' - pp*(1 - 1/s)).
+            # cv2.resize samples output pixel u2 at input (u2+0.5)/s - 0.5,
+            # so the rendered content obeys u2 = s*(u1 - ox) + (s-1)/2 —
+            # i.e. an effective offset o' = o - 0.5*(1 - 1/s). Using o'
+            # keeps the pose/intrinsics GT sub-0.1px consistent with the
+            # pixels (else a systematic (s-1)/2-px bias at the 1px
+            # epipolar threshold).
             tz = depth_z * (1.0 - 1.0 / s_eff)
+            shrink = 1.0 - 1.0 / s_eff
             cam2 = np.array([
-                depth_z / focal * (ox - pp * (1.0 - 1.0 / s_eff)),
-                depth_z / focal * (oy - pp * (1.0 - 1.0 / s_eff)), tz])
+                depth_z / focal * (ox - (pp + 0.5) * shrink),
+                depth_z / focal * (oy - (pp + 0.5) * shrink), tz])
             depth2 = depth_z - tz
         cv2.imwrite(os.path.join(base, "imgs", f"a{i}.jpg"), im1[..., ::-1])
         cv2.imwrite(os.path.join(base, "imgs", f"b{i}.jpg"), im2[..., ::-1])

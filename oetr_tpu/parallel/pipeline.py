@@ -58,8 +58,23 @@ def gpipe(stage_fn: Callable, stacked_params: Any, microbatches: Any,
     Returns the outputs, same structure/leading-``M`` as
     ``microbatches``, replicated across the pipe axis. Differentiable
     (GPipe schedule: all activations live for the backward pass).
+
+    Memory note: microbatch inputs and outputs are replicated across the
+    pipe axis (``P()`` in/out specs) and each tick psums the full output
+    tree, so per-device activation memory and collective volume scale
+    with the *whole* batch — correct and simple (this powers the
+    equivalence tests and dryrun), but it forfeits the per-stage memory
+    scaling full pipeline training would want; a production variant would
+    shard microbatch storage and gather outputs on the last stage only.
     """
     n_stages = mesh.shape[axis]
+    lead = jax.tree.leaves(stacked_params)[0].shape[0]
+    if lead != n_stages:
+        # Without this, shard_map would happily split L = k*S stages into
+        # chunks and `p[0]` would silently drop all but one per device.
+        raise ValueError(
+            f"stacked_params leading dim {lead} != mesh.shape[{axis!r}] "
+            f"{n_stages}: exactly one stage per pipe device is required")
     n_micro = jax.tree.leaves(microbatches)[0].shape[0]
     n_ticks = n_micro + n_stages - 1
     have_aux = aux is not None

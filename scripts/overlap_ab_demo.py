@@ -54,6 +54,14 @@ def main():
     ap.add_argument("--val_pairs", type=int, default=40)
     ap.add_argument("--hw", type=int, default=256)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--d_model", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--dec_layers", type=int, default=2)
+    ap.add_argument("--depth", type=int, default=18,
+                    help="resnet depth (18/50)")
+    ap.add_argument("--milestones", type=str, default="",
+                    help="comma-separated step milestones for 0.1x lr decay"
+                         " (default: none)")
     ap.add_argument("--topk", type=int, default=1024)
     ap.add_argument("--ckpt_dir", type=str, default="",
                     help="orbax checkpoint dir: resume from the latest "
@@ -93,12 +101,15 @@ def main():
     # --- train a small OETR on the scale-difference pairs ----------------
     tokens = hw // 32            # layer3 stride 16 + patch-merge halving
     model_cfg = OETRConfig(
-        backbone=BackboneConfig(depth=18, stop_layer="layer3",
-                                last_layer=256),
-        neck=NeckConfig(d_model=64, nhead=8, num_layers=2,
-                        num_decoder_layers=2, max_shape=(tokens, tokens)))
+        backbone=BackboneConfig(depth=args.depth, stop_layer="layer3",
+                                last_layer=256 if args.depth == 18 else 1024),
+        neck=NeckConfig(d_model=args.d_model, nhead=8, num_layers=args.layers,
+                        num_decoder_layers=args.dec_layers,
+                        max_shape=(tokens, tokens)))
+    milestones = (tuple(int(m) for m in args.milestones.split(","))
+                  if args.milestones else (10 ** 6,))
     train_cfg = TrainConfig(batch_size=args.batch, image_size=(hw, hw),
-                            lr=args.lr, lr_milestones=(10 ** 6,))
+                            lr=args.lr, lr_milestones=milestones)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.key(0), (hw, hw))
     step_fn = make_train_step(model, tx, cycle=True)
@@ -128,7 +139,10 @@ def main():
                       flush=True)
             it += 1
 
-    if ckpt_dir:
+    if ckpt_dir and it > start_step:
+        # it == start_step means training was skipped (resumed at the
+        # target step): step_{it} already exists and orbax refuses to
+        # overwrite it — skip so resume-to-re-eval works.
         from oetr_tpu.training.train import save_checkpoint
         save_checkpoint(ckpt_dir, state, it)
         print(f"# saved checkpoint step {it}", file=sys.stderr, flush=True)
@@ -216,7 +230,9 @@ def main():
     print(json.dumps({
         "metric": "overlap_ab_pose_auc",
         "steps": args.steps, "hw": hw, "val_pairs": args.val_pairs,
-        "train_loss_last": round(last_loss, 4),
+        "d_model": args.d_model, "layers": args.layers,
+        "train_loss_last": (round(last_loss, 4)
+                            if np.isfinite(last_loss) else None),
         "pred_box_miou": round(float((iou1.mean() + iou2.mean()) / 2), 4),
         **{name: row for name, row in rows.items()},
         "wall_s": round(time.time() - t0, 1),

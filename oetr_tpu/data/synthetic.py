@@ -143,3 +143,166 @@ def generate_scene(base: str, n_pairs: int = 64, image_hw: int = 160,
     with open(pairs, "w") as f:
         f.write("\n".join(lines))
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# General 3-D scenes: multi-plane depth, rotation, perspective, illumination
+# ---------------------------------------------------------------------------
+
+
+def _rot(rx: float, ry: float, rz: float) -> np.ndarray:
+    """R = Rz @ Ry @ Rx (radians), world->cam rotation."""
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def _render_planes(planes: list[dict], K: np.ndarray, R: np.ndarray,
+                   c: np.ndarray, hw: int) -> tuple[np.ndarray, np.ndarray]:
+    """Ray-cast fronto-parallel textured planes into a camera.
+
+    ``planes``: far-to-near list of {z, x0, y0, x1, y1, tex, ppw} —
+    a world-frame rectangle at depth ``z`` whose texture has ``ppw``
+    pixels per world unit. Camera: world->cam rotation ``R``, center
+    ``c`` (t = -R c). Pixel (i, j) casts the ray through continuous
+    coordinate (j, i) — the cv2-keypoint convention, so a rendered
+    feature at array index (i, j) projects exactly to (j, i): the
+    pose/intrinsics GT is sub-pixel consistent with the pixels by
+    construction (no integer-crop shortcuts).
+
+    Returns (image uint8 RGB [hw, hw, 3], zdepth float32 [hw, hw];
+    depth 0 where no plane is hit).
+    """
+    import cv2
+
+    jj, ii = np.meshgrid(np.arange(hw, dtype=np.float64),
+                         np.arange(hw, dtype=np.float64))
+    # Camera-frame ray directions with d_z = 1 -> z_cam of a hit = lambda.
+    d_cam = np.stack([(jj - K[0, 2]) / K[0, 0],
+                      (ii - K[1, 2]) / K[1, 1],
+                      np.ones_like(jj)], axis=-1)
+    d_world = d_cam @ R                      # R^T d, [hw, hw, 3]
+    img = np.zeros((hw, hw, 3), np.float32)
+    depth = np.zeros((hw, hw), np.float32)
+    for p in planes:                         # far -> near: near overwrites
+        dz = d_world[..., 2]
+        lam = (p["z"] - c[2]) / np.where(np.abs(dz) > 1e-12, dz, 1e-12)
+        x = c[0] + lam * d_world[..., 0]
+        y = c[1] + lam * d_world[..., 1]
+        valid = ((lam > 1e-6) & (x >= p["x0"]) & (x <= p["x1"])
+                 & (y >= p["y0"]) & (y <= p["y1"]))
+        tx = ((x - p["x0"]) * p["ppw"]).astype(np.float32)
+        ty = ((y - p["y0"]) * p["ppw"]).astype(np.float32)
+        sampled = cv2.remap(p["tex"], tx, ty, cv2.INTER_LINEAR,
+                            borderMode=cv2.BORDER_REPLICATE)
+        img = np.where(valid[..., None], sampled.astype(np.float32), img)
+        depth = np.where(valid, lam.astype(np.float32), depth)
+    return np.clip(img, 0, 255).astype(np.uint8), depth
+
+
+def generate_scene_3d(base: str, n_pairs: int = 64, image_hw: int = 256,
+                      focal: float | None = None, seed: int = 0,
+                      n_fg_planes: tuple[int, int] = (1, 3),
+                      depth_bg: float = 12.0,
+                      rot_deg: float = 12.0, tilt_deg: float = 8.0,
+                      trans_frac: float = 0.3,
+                      scale_range: tuple[float, float] = (1.0, 1.8),
+                      illum_range: tuple[float, float] = (0.7, 1.3),
+                      max_tex: int = 1536) -> str:
+    """Harder synthetic two-view scenes; returns the pairs.txt path.
+
+    Unlike :func:`generate_scene` (constant-depth plane, pure
+    translation/dolly — the regime a planar-homography fallback wins by
+    construction), each pair here is a genuinely 3-D scene: a background
+    plane plus 1-3 floating foreground planes at distinct depths
+    (occlusion + parallax, so the epipolar/E path is the right model),
+    observed by a second camera with in-plane rotation (±rot_deg),
+    out-of-plane tilt (±tilt_deg, perspective), lateral translation, a
+    dolly-in scale factor from ``scale_range``, and a global illumination
+    gain from ``illum_range``. Rendering is exact ray-casting
+    (cv2-keypoint coordinate convention), so pose/intrinsics/depth GT is
+    sub-pixel consistent; depth maps record z-depth per camera including
+    occlusion, so the overlap-box GT path (geometry/overlap.py) and the
+    reference's regime (scale_diff + viewpoint change,
+    /root/reference/src/utils/megadepth_preprocess.py:141-151) are both
+    exercised for real.
+
+    Output tree/pairs format is identical to :func:`generate_scene`.
+    """
+    import cv2
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(base, "imgs"), exist_ok=True)
+    os.makedirs(os.path.join(base, "depths"), exist_ok=True)
+
+    hw = image_hw
+    f = focal if focal is not None else 0.9 * hw
+    K = np.array([[f, 0, hw / 2], [0, f, hw / 2], [0, 0, 1.0]])
+    Ks = ",".join(str(x) for x in K.reshape(-1))
+    P1 = ",".join(str(x) for x in np.eye(4).reshape(-1))
+    full_box = f"0,0,{hw},{hw}"
+    lines = []
+
+    for i in range(n_pairs):
+        s = float(rng.uniform(*scale_range))
+        # Camera 2: dolly to depth_bg/s plus lateral offset, rotated.
+        tz = depth_bg * (1.0 - 1.0 / s)
+        shift_w = trans_frac * depth_bg * hw / f     # world units
+        c2 = np.array([rng.uniform(-shift_w, shift_w),
+                       rng.uniform(-shift_w, shift_w), tz])
+        R2 = _rot(np.deg2rad(rng.uniform(-tilt_deg, tilt_deg)),
+                  np.deg2rad(rng.uniform(-tilt_deg, tilt_deg)),
+                  np.deg2rad(rng.uniform(-rot_deg, rot_deg)))
+
+        # Background plane: generously covers both cameras' views.
+        half_bg = (depth_bg / f) * hw * 1.1 + shift_w
+        ppw_bg = min(s * f / depth_bg, max_tex / (2 * half_bg))
+        tw = int(np.ceil(2 * half_bg * ppw_bg))
+        planes = [{
+            "z": depth_bg, "x0": -half_bg, "y0": -half_bg,
+            "x1": half_bg, "y1": half_bg,
+            "tex": _texture(rng, tw, tw), "ppw": ppw_bg,
+        }]
+        # Foreground planes: nearer, smaller, floating (parallax).
+        for _ in range(int(rng.integers(*n_fg_planes, endpoint=True))):
+            zf = float(rng.uniform(0.45, 0.8)) * depth_bg
+            half = float(rng.uniform(0.08, 0.22)) * (zf / f) * hw
+            cx = float(rng.uniform(-0.3, 0.3)) * (zf / f) * hw
+            cy = float(rng.uniform(-0.3, 0.3)) * (zf / f) * hw
+            ppw = min(s * f / zf, 512 / (2 * half))
+            tws = max(int(np.ceil(2 * half * ppw)), 16)
+            planes.append({
+                "z": zf, "x0": cx - half, "y0": cy - half,
+                "x1": cx + half, "y1": cy + half,
+                "tex": _texture(rng, tws, tws), "ppw": ppw,
+            })
+        planes.sort(key=lambda p: -p["z"])   # far -> near
+
+        im1, d1 = _render_planes(planes, K, np.eye(3), np.zeros(3), hw)
+        im2, d2 = _render_planes(planes, K, R2, c2, hw)
+        gain = float(rng.uniform(*illum_range))
+        im2 = np.clip(im2.astype(np.float32) * gain, 0, 255).astype(np.uint8)
+
+        cv2.imwrite(os.path.join(base, "imgs", f"a{i}.jpg"), im1[..., ::-1])
+        cv2.imwrite(os.path.join(base, "imgs", f"b{i}.jpg"), im2[..., ::-1])
+        for nm, dm in ((f"a{i}", d1), (f"b{i}", d2)):
+            with h5py.File(os.path.join(base, "depths", f"{nm}.h5"),
+                           "w") as fh:
+                fh.create_dataset("/depth", data=dm.astype(np.float32))
+        pose2 = np.eye(4)
+        pose2[:3, :3] = R2
+        pose2[:3, 3] = -R2 @ c2
+        P2 = ",".join(str(x) for x in pose2.reshape(-1))
+        lines.append(
+            f"imgs/a{i}.jpg depths/a{i}.h5 {Ks} {P1} {full_box} "
+            f"imgs/b{i}.jpg depths/b{i}.h5 {Ks} {P2} {full_box}")
+
+    pairs = os.path.join(base, "pairs.txt")
+    with open(pairs, "w") as fh:
+        fh.write("\n".join(lines))
+    return pairs

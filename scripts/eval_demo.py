@@ -29,6 +29,18 @@ def main():
     ap.add_argument("--pairs", type=int, default=40)
     ap.add_argument("--hw", type=int, default=240)
     ap.add_argument("--topk", type=int, default=1024)
+    ap.add_argument("--scene3d", action="store_true",
+                    help="use generate_scene_3d (multi-plane depth, "
+                         "rotation, perspective tilt, illumination) — the "
+                         "non-planar regime where the E path, not the "
+                         "planar-homography fallback, is the right model")
+    ap.add_argument("--rot", type=float, default=12.0)
+    ap.add_argument("--tilt", type=float, default=8.0)
+    ap.add_argument("--scale_max", type=float, default=1.8)
+    ap.add_argument("--illum", type=float, default=0.3,
+                    help="illumination gain spread: gains in [1-x, 1+x]")
+    ap.add_argument("--ratio", type=float, default=0.9,
+                    help="NN mutual ratio-test threshold")
     args = ap.parse_args()
 
     import cv2
@@ -44,8 +56,16 @@ def main():
 
     t0 = time.time()
     tmp = tempfile.mkdtemp(prefix="oetr_evaldemo_")
-    pairs_txt = generate_scene(tmp, n_pairs=args.pairs, image_hw=args.hw,
-                               max_shift_px=60, seed=11)
+    if args.scene3d:
+        from oetr_tpu.data.synthetic import generate_scene_3d
+        pairs_txt = generate_scene_3d(
+            tmp, n_pairs=args.pairs, image_hw=args.hw, seed=11,
+            rot_deg=args.rot, tilt_deg=args.tilt,
+            scale_range=(1.0, args.scale_max),
+            illum_range=(1.0 - args.illum, 1.0 + args.illum))
+    else:
+        pairs_txt = generate_scene(tmp, n_pairs=args.pairs, image_hw=args.hw,
+                                   max_shift_px=60, seed=11)
     ds = MegaDepthPairsDataset(tmp, pairs_txt, image_size=(args.hw, args.hw),
                                train=False)
 
@@ -64,7 +84,7 @@ def main():
                                    jnp.asarray(d1)[None],
                                    jnp.asarray(v0)[None],
                                    jnp.asarray(v1)[None],
-                                   ratio_threshold=0.9)
+                                   ratio_threshold=args.ratio)
         matches0 = np.asarray(m["matches0"][0])
         sel = matches0 > -1
         matches = np.stack([np.nonzero(sel)[0], matches0[sel]])
@@ -79,7 +99,8 @@ def main():
 
     aucs = pose_auc(errors, [5, 10, 20])
     print(json.dumps({
-        "metric": "synthetic_sift_nn_pose_auc",
+        "metric": ("synthetic3d_sift_nn_pose_auc" if args.scene3d
+                   else "synthetic_sift_nn_pose_auc"),
         "pairs": args.pairs, "hw": args.hw,
         "auc@5": round(float(aucs[0]), 4),
         "auc@10": round(float(aucs[1]), 4),

@@ -113,13 +113,95 @@ def main():
         except Exception:
             break  # keep the best number so far
 
-    print(json.dumps({
+    # Stage 4: the north-star metric (BASELINE.json) — the FULL matching
+    # pipeline per chip: OETR overlap (640^2) -> crop-equalize ->
+    # SuperPoint extract (832^2 canvas, fixed-k 2048) -> SuperGlue match,
+    # i.e. what the reference's serial batch-1 loop does per pair
+    # (/root/reference/evaluation.py:303). Budget-gated after the
+    # guaranteed OETR stages; on a warm cache it always runs.
+    full = None
+    try:
+        if _remaining() > 150.0:
+            full = _measure_full_pipeline(model, params, rng)
+    except Exception as e:  # noqa: BLE001 — never sink the artifact
+        _log(f"full-pipeline stage failed: {type(e).__name__}: {e}")
+
+    result = {
         "metric": "oetr_overlap_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
         "batch": batch_used,
-    }))
+    }
+    if full is not None:
+        result["matched_pairs_per_sec_per_chip"] = full
+    print(json.dumps(result))
+
+
+def _measure_full_pipeline(oetr_model, oetr_params, rng) -> dict:
+    """Matched-pairs/s/chip: overlap + extract + match, end to end."""
+    from oetr_tpu.models.superglue import SuperGlue
+    from oetr_tpu.models.superpoint import SuperPoint
+    from oetr_tpu.pipelines import PipelineConfig, SparsePipeline
+
+    k = 2048
+    ch = cw = 832
+    pcfg = PipelineConfig(canvas_hw=(ch, cw), oetr_hw=(640, 640),
+                          fallback_min_matches=0)  # no host-side retry:
+    # random-init weights yield few matches; the retry path would bench
+    # the fallback, not the pipeline.
+    sp = SuperPoint(max_keypoints=k, dtype=jnp.bfloat16)
+    sp_params = jax.jit(sp.init)(jax.random.key(1),
+                                 jnp.zeros((1, ch, cw, 1), jnp.float32))
+    sg = SuperGlue(dtype=jnp.bfloat16)
+    dummy = {
+        "keypoints0": jnp.zeros((1, k, 2)), "keypoints1": jnp.zeros((1, k, 2)),
+        "scores0": jnp.zeros((1, k)), "scores1": jnp.zeros((1, k)),
+        "descriptors0": jnp.zeros((1, k, sg.descriptor_dim)),
+        "descriptors1": jnp.zeros((1, k, sg.descriptor_dim)),
+        "valid0": jnp.ones((1, k), bool), "valid1": jnp.ones((1, k), bool),
+    }
+    # image_hw are shape statics — close over them, don't trace them.
+    sg_params = jax.jit(lambda kk, dd: sg.init(
+        kk, dict(dd, image_hw0=(ch, cw), image_hw1=(ch, cw))))(
+            jax.random.key(2), dummy)
+    jax.block_until_ready((sp_params, sg_params))
+    _log("full-pipeline: SP+SG init done")
+    pipe = SparsePipeline(sp, sp_params, lambda d: sg.apply(sg_params, d),
+                          oetr=oetr_model, oetr_params=oetr_params, cfg=pcfg)
+
+    def measure(batch: int, iters: int) -> float:
+        im = jnp.asarray(rng.uniform(0, 1, (batch, ch, cw, 3)), jnp.float32)
+        im2 = jnp.asarray(rng.uniform(0, 1, (batch, ch, cw, 3)), jnp.float32)
+        hw = jnp.full((batch, 2), ch, jnp.int32)
+        o0 = jnp.asarray(rng.uniform(0, 1, (batch, 640, 640, 3)), jnp.float32)
+        o1 = jnp.asarray(rng.uniform(0, 1, (batch, 640, 640, 3)), jnp.float32)
+        sc = jnp.full((batch, 2), ch / 640.0, jnp.float32)
+        _log(f"full-pipeline batch={batch}: compiling")
+        out = pipe(im, im2, hw, hw, o0, o1, sc, sc, with_overlap=True)
+        jax.block_until_ready(out["matches0"])
+        _log(f"full-pipeline batch={batch}: compiled, measuring")
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = pipe(im, im2, hw, hw, o0, o1, sc, sc, with_overlap=True)
+        jax.block_until_ready(out["matches0"])
+        _log(f"full-pipeline batch={batch}: measured")
+        return batch * iters / (time.perf_counter() - t0)
+
+    best = measure(1, 4)
+    batch_used = 1
+    for batch, iters in ((16, 3), (8, 4)):
+        if _remaining() < 110.0:
+            break
+        try:
+            pps = measure(batch, iters)
+            if pps > best:
+                best, batch_used = pps, batch
+        except Exception:
+            break
+    return {"value": round(best, 2), "unit": "pairs/s",
+            "batch": batch_used, "canvas": ch, "keypoints": k,
+            "stages": "oetr640+crop+superpoint832+superglue2048"}
 
 
 if __name__ == "__main__":

@@ -57,7 +57,8 @@ def _texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
 def generate_scene(base: str, n_pairs: int = 64, image_hw: int = 160,
                    depth_z: float = 10.0, focal: float = 120.0,
                    max_shift_px: int = 48, seed: int = 0,
-                   scale_range: tuple[float, float] = (1.0, 1.0)) -> str:
+                   scale_range: tuple[float, float] = (1.0, 1.0),
+                   p_translate: float = 0.0) -> str:
     """Write images/depths/pairs.txt under ``base``; return pairs path.
 
     Each pair: two crops of one texture plane related by camera motion at
@@ -91,6 +92,11 @@ def generate_scene(base: str, n_pairs: int = 64, image_hw: int = 160,
         canvas = _texture(rng, hw + 2 * pad, hw + 2 * pad)
         im1 = canvas[pad:pad + hw, pad:pad + hw]
         s = float(rng.uniform(*scale_range))
+        if rng.uniform() < p_translate:
+            # Curriculum mixture: a fraction of pure same-scale
+            # translation pairs (easy matching) alongside the dolly
+            # pairs — useful when training a backbone from scratch.
+            s = 1.0
         if s <= 1.0 + 1e-6:
             # Pure lateral shift: a canvas feature at image1 pixel u
             # appears in image2 at u - (dx, dy) -> t = -(dx, dy) * z / f.

@@ -97,3 +97,150 @@ def synthetic_shapes_batch(rng: np.random.Generator, b: int, hw: int = 96,
             corners[i, j] = p
         images[i, :, :, 0] = img
     return images, corners, counts
+
+
+# ---------------------------------------------------------------------------
+# Descriptor training (SuperPoint paper §3.4: homography-pair hinge loss)
+# ---------------------------------------------------------------------------
+
+
+def cell_centers(hc: int, wc: int, stride: int = 8) -> Array:
+    """[Hc*Wc, 2] full-resolution (x, y) centers of the coarse cells.
+
+    Matches ops/nms.sample_descriptors' convention: grid coord j maps to
+    pixel x = stride*j + stride/2 - 0.5 (cell (i, j) center at
+    (8j + 3.5, 8i + 3.5) for stride 8).
+    """
+    ys = jnp.arange(hc, dtype=jnp.float32) * stride + stride / 2 - 0.5
+    xs = jnp.arange(wc, dtype=jnp.float32) * stride + stride / 2 - 0.5
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+
+
+def descriptor_hinge_loss(desc0: Array, desc1: Array, H: Array,
+                          hw: tuple[int, int], stride: int = 8,
+                          pos_margin: float = 1.0, neg_margin: float = 0.2,
+                          lambda_d: float = 250.0,
+                          corr_radius: float = 8.0) -> Array:
+    """SuperPoint descriptor loss l_d (paper eq. 4-6), batched.
+
+    For every pair of coarse cells (one per image) related by the GT
+    homography: positive pairs (warped center within ``corr_radius`` px)
+    pull dot-product above ``pos_margin``; the rest push it below
+    ``neg_margin``; positives weighted ``lambda_d`` to balance the
+    ~(HcWc):1 negative excess. Warped centers that land outside image1
+    participate only as negatives (their true match is not visible).
+
+    Args:
+      desc0, desc1: [B, Hc, Wc, D] unit-norm coarse descriptor maps.
+      H: [B, 3, 3] image0 -> image1 pixel homographies.
+      hw: full-resolution (H, W).
+    """
+    b, hc, wc, d = desc0.shape
+    n = hc * wc
+    centers = cell_centers(hc, wc, stride)                     # [N, 2]
+    ones = jnp.ones((n, 1), jnp.float32)
+    pts = jnp.concatenate([centers, ones], axis=-1)            # [N, 3]
+    warped = jnp.einsum("bij,nj->bni", H, pts)                 # [B, N, 3]
+    warped = warped[..., :2] / jnp.where(
+        jnp.abs(warped[..., 2:]) > 1e-12, warped[..., 2:], 1e-12)
+    inside = ((warped[..., 0] >= 0) & (warped[..., 0] <= hw[1] - 1)
+              & (warped[..., 1] >= 0) & (warped[..., 1] <= hw[0] - 1))
+
+    dist = jnp.linalg.norm(warped[:, :, None, :] - centers[None, None],
+                           axis=-1)                            # [B, N, N]
+    s = (dist <= corr_radius) & inside[..., None]
+
+    dot = jnp.einsum("bnd,bmd->bnm", desc0.reshape(b, n, d),
+                     desc1.reshape(b, n, d))
+    pos = jnp.maximum(0.0, pos_margin - dot)
+    neg = jnp.maximum(0.0, dot - neg_margin)
+    loss = jnp.where(s, lambda_d * pos, neg)
+    return jnp.sum(loss) / (b * n * n)
+
+
+def random_homography(rng: np.random.Generator, hw: tuple[int, int],
+                      max_rot_deg: float = 25.0,
+                      scale_range: tuple[float, float] = (0.7, 1.4),
+                      max_shift_frac: float = 0.15,
+                      max_persp: float = 5e-4) -> np.ndarray:
+    """Random rotation+scale+shift+perspective homography about center."""
+    h, w = hw
+    cx, cy = w / 2.0, h / 2.0
+    th = np.deg2rad(rng.uniform(-max_rot_deg, max_rot_deg))
+    s = rng.uniform(*scale_range)
+    tx = rng.uniform(-max_shift_frac, max_shift_frac) * w
+    ty = rng.uniform(-max_shift_frac, max_shift_frac) * h
+    c, si = np.cos(th), np.sin(th)
+    A = np.array([[s * c, -s * si, 0], [s * si, s * c, 0], [0, 0, 1.0]])
+    T1 = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1.0]])
+    T2 = np.array([[1, 0, cx + tx], [0, 1, cy + ty], [0, 0, 1.0]])
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-max_persp, max_persp)
+    P[2, 1] = rng.uniform(-max_persp, max_persp)
+    return (T2 @ P @ A @ T1).astype(np.float64)
+
+
+def homography_pairs_batch(rng: np.random.Generator, b: int, hw: int = 128,
+                           **h_kwargs):
+    """Textured homography pairs for descriptor training.
+
+    Returns (im0 [B, hw, hw, 1] float32, im1 [B, hw, hw, 1], H [B, 3, 3])
+    with im1 = warpPerspective(im0, H). Host-side (cv2 + the procedural
+    texture from data/synthetic.py — the same family the synthetic
+    benchmark scenes use).
+    """
+    import cv2
+
+    from ..data.synthetic import _texture
+
+    im0 = np.zeros((b, hw, hw, 1), np.float32)
+    im1 = np.zeros((b, hw, hw, 1), np.float32)
+    Hs = np.zeros((b, 3, 3), np.float64)
+    for i in range(b):
+        tex = _texture(rng, hw, hw)
+        g = cv2.cvtColor(tex, cv2.COLOR_RGB2GRAY).astype(np.float32) / 255.0
+        H = random_homography(rng, (hw, hw), **h_kwargs)
+        # Constant border, NOT reflect: reflected fill duplicates im0
+        # content at wrong locations, turning photometrically identical
+        # patches into hinge negatives (contradictory gradients).
+        g2 = cv2.warpPerspective(g, H, (hw, hw), flags=cv2.INTER_LINEAR,
+                                 borderMode=cv2.BORDER_CONSTANT,
+                                 borderValue=0.0)
+        im0[i, :, :, 0] = g
+        im1[i, :, :, 0] = g2
+        Hs[i] = H
+    return im0, im1, Hs
+
+
+def make_superpoint_joint_train_step(net, tx, lambda_desc: float = 1.0):
+    """Detector CE (synthetic shapes) + descriptor hinge (homography
+    pairs) in one jit'd step — the full SuperPoint objective
+    (paper eq. 1: l_p + l_p' + lambda l_d; we supervise the detector on
+    the shapes stream where corners are exact, and the descriptor on the
+    texture stream where the homography is exact).
+
+    step(params, opt_state, shape_imgs, cell_labels, im0, im1, H)
+      -> (params, opt_state, metrics)
+    """
+    @partial(jax.jit)
+    def step(params, opt_state, shape_imgs, cell_labels, im0, im1, H):
+        hw = im0.shape[1:3]
+
+        def loss_fn(p):
+            _, _, logits = net.apply(p, shape_imgs, with_logits=True)
+            det = magicpoint_loss(logits, cell_labels)
+            # One doubled batch through the encoder for both pair sides.
+            _, desc = net.apply(p, jnp.concatenate([im0, im1], axis=0))
+            d0, d1 = jnp.split(desc, 2, axis=0)
+            des = descriptor_hinge_loss(d0, d1, H, hw)
+            return det + lambda_desc * des, (det, des)
+
+        (loss, (det, des)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "det_loss": det,
+                                   "desc_loss": des}
+
+    return step

@@ -62,6 +62,16 @@ def main():
     ap.add_argument("--milestones", type=str, default="",
                     help="comma-separated step milestones for 0.1x lr decay"
                          " (default: none)")
+    ap.add_argument("--train_scale_min", type=float, default=1.8,
+                    help="lower edge of the TRAIN pair scale range: 1.0 "
+                         "mixes easy same-scale/translation pairs into "
+                         "training (a from-scratch backbone has no "
+                         "pretrained scale-robust features — the mixture "
+                         "bootstraps matching before the hard 2-3x "
+                         "pairs); val pairs stay at (1.8, 3.2)")
+    ap.add_argument("--train_translate_frac", type=float, default=0.0,
+                    help="fraction of TRAIN pairs that are pure "
+                         "same-scale translations (easy matching)")
     ap.add_argument("--topk", type=int, default=1024)
     ap.add_argument("--ckpt_dir", type=str, default="",
                     help="orbax checkpoint dir: resume from the latest "
@@ -89,7 +99,9 @@ def main():
     tmp = tempfile.mkdtemp(prefix="oetr_ab_")
     train_txt = generate_scene(os.path.join(tmp, "train"),
                                n_pairs=args.train_pairs, image_hw=hw,
-                               seed=0, scale_range=(1.8, 3.2))
+                               seed=0,
+                               scale_range=(args.train_scale_min, 3.2),
+                               p_translate=args.train_translate_frac)
     val_txt = generate_scene(os.path.join(tmp, "val"),
                              n_pairs=args.val_pairs, image_hw=hw,
                              seed=999, scale_range=(1.8, 3.2))
@@ -134,7 +146,9 @@ def main():
             state, metrics = step_fn(state, batch, drop)
             last_loss = float(metrics["loss"])
             if it % 50 == 0:
+                miou = float((metrics["iou1"] + metrics["iou2"]) / 2)
                 print(f"# step {it} loss {last_loss:.4f} "
+                      f"train_miou {miou:.3f} "
                       f"({time.time() - t0:.0f}s)", file=sys.stderr,
                       flush=True)
             it += 1

@@ -1,0 +1,386 @@
+#!/usr/bin/env python
+"""Learned SuperPoint+SuperGlue, end to end: train from scratch, then
+beat SIFT+NN on the synthetic pose benchmark.
+
+The reference's benchmark protagonist is SuperPoint+SuperGlue
+(/root/reference/dloc/core/match_features.py:24-56) with *downloaded*
+checkpoints (the third_party submodule is empty in-repo). This script
+produces the first from-scratch end-to-end accuracy number for the flax
+networks as MATCHERS:
+
+  1. SuperPoint: joint MagicPoint detector CE (synthetic shapes, exact
+     corners) + descriptor hinge on texture homography pairs
+     (training/superpoint.py, paper recipe);
+  2. SuperGlue: OT-NLL on GT assignments derived from known scene
+     geometry (depth+pose warp) over the trained SuperPoint's keypoints;
+  3. eval on held-out scenes: SIFT+NN vs SP+NN vs SP+SG with the
+     reference's pose-AUC protocol (same machinery as eval_demo).
+
+Checkpoints are saved/resumed via orbax (--ckpt_dir), so phases can be
+re-run incrementally. Prints one JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+os.makedirs(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+            exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                 ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def warp_points_via_depth(xy, depth1, K1, T_0to1, K2):
+    """[K, 2] image1 points -> image2 via depth+pose. Returns (xy2, ok)."""
+    import jax.numpy as jnp
+
+    from oetr_tpu.training.losses import interpolate_depth
+
+    z, ok = interpolate_depth(jnp.asarray(depth1), jnp.asarray(xy))
+    x = (xy[:, 0] - K1[0, 2]) * z / K1[0, 0]
+    y = (xy[:, 1] - K1[1, 2]) * z / K1[1, 1]
+    P = jnp.stack([x, y, z], axis=-1)
+    Pc2 = P @ jnp.asarray(T_0to1[:3, :3]).T + jnp.asarray(T_0to1[:3, 3])
+    uv = Pc2 @ jnp.asarray(K2).T
+    xy2 = uv[:, :2] / jnp.where(jnp.abs(uv[:, 2:]) > 1e-9, uv[:, 2:], 1e-9)
+    ok = ok & (Pc2[:, 2] > 1e-6)
+    return xy2, ok
+
+
+def gt_matches_from_geometry(xy0, v0, xy1, v1, depth1, K1, T_0to1, K2,
+                             radius=3.0):
+    """Mutual-NN GT assignment under the known warp. Returns [K] int."""
+    import numpy as np
+
+    xy2, ok = warp_points_via_depth(xy0, depth1, K1, T_0to1, K2)
+    xy2, ok = np.asarray(xy2), np.asarray(ok) & np.asarray(v0)
+    d = np.linalg.norm(xy2[:, None] - np.asarray(xy1)[None], axis=-1)
+    d[~ok] = 1e9
+    d[:, ~np.asarray(v1)] = 1e9
+    nn1 = d.argmin(1)
+    best = d[np.arange(len(xy0)), nn1]
+    # mutual check
+    nn0 = d.argmin(0)
+    mutual = nn0[nn1] == np.arange(len(xy0))
+    gt = np.where((best < radius) & mutual, nn1, -1)
+    return gt.astype(np.int32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sp_steps", type=int, default=2000)
+    ap.add_argument("--sg_steps", type=int, default=1500)
+    ap.add_argument("--sp_batch", type=int, default=32)
+    ap.add_argument("--sg_batch", type=int, default=8)
+    ap.add_argument("--sp_hw", type=int, default=128)
+    ap.add_argument("--hw", type=int, default=256,
+                    help="scene pair size for SG training + eval")
+    ap.add_argument("--topk", type=int, default=512)
+    ap.add_argument("--train_pairs", type=int, default=192)
+    ap.add_argument("--val_pairs", type=int, default=40)
+    ap.add_argument("--tex_pool", type=int, default=160)
+    ap.add_argument("--ckpt_dir", type=str, default="")
+    ap.add_argument("--desc_dim", type=int, default=128)
+    args = ap.parse_args()
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from oetr_tpu.data.megadepth import MegaDepthPairsDataset
+    from oetr_tpu.data.synthetic import _texture, generate_scene
+    from oetr_tpu.evalx.metrics import pose_auc
+    from oetr_tpu.evalx.twoview import validation_error
+    from oetr_tpu.models.matchers import nearest_neighbor_match
+    from oetr_tpu.models.sift_based import sift_keypoints
+    from oetr_tpu.models.superglue import SuperGlue
+    from oetr_tpu.models.superpoint import SuperPoint, SuperPointNet
+    from oetr_tpu.training.superglue import (make_superglue_train_step,
+                                             superglue_nll_loss)
+    from oetr_tpu.training.superpoint import (
+        corners_to_cell_labels, homography_pairs_batch,
+        make_superpoint_joint_train_step, random_homography,
+        synthetic_shapes_batch)
+
+    t0 = time.time()
+    rng = np.random.default_rng(0)
+    hw, sp_hw, k = args.hw, args.sp_hw, args.topk
+
+    ckpt = None
+    if args.ckpt_dir:
+        import orbax.checkpoint as ocp
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        ckpt = ocp.StandardCheckpointer()
+
+    def maybe_restore(name, target):
+        path = os.path.abspath(os.path.join(args.ckpt_dir, name))
+        if ckpt is not None and os.path.exists(path):
+            log(f"restoring {name}")
+            return ckpt.restore(path, target), True
+        return target, False
+
+    def maybe_save(name, tree):
+        if ckpt is not None:
+            path = os.path.abspath(os.path.join(args.ckpt_dir, name))
+            if not os.path.exists(path):
+                ckpt.save(path, jax.tree.map(jnp.asarray, tree))
+                ckpt.wait_until_finished()
+
+    # ---- Phase 1: SuperPoint ------------------------------------------
+    net = SuperPointNet(descriptor_dim=args.desc_dim)
+    sp_params = jax.jit(net.init)(jax.random.key(0),
+                                  jnp.zeros((1, sp_hw, sp_hw, 1)))
+    sp_params, restored = maybe_restore("superpoint", sp_params)
+    if not restored and args.sp_steps > 0:
+        log(f"texture pool ({args.tex_pool})...")
+        pool = [cv2.cvtColor(_texture(rng, sp_hw, sp_hw),
+                             cv2.COLOR_RGB2GRAY).astype(np.float32) / 255.0
+                for _ in range(args.tex_pool)]
+
+        def pair_batch(b):
+            im0 = np.zeros((b, sp_hw, sp_hw, 1), np.float32)
+            im1 = np.zeros((b, sp_hw, sp_hw, 1), np.float32)
+            Hs = np.zeros((b, 3, 3), np.float64)
+            for i in range(b):
+                g = pool[int(rng.integers(len(pool)))]
+                H = random_homography(rng, (sp_hw, sp_hw))
+                im0[i, :, :, 0] = g
+                im1[i, :, :, 0] = cv2.warpPerspective(
+                    g, H, (sp_hw, sp_hw), flags=cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+                Hs[i] = H
+            return im0, im1, Hs
+
+        tx = optax.adam(optax.piecewise_constant_schedule(
+            1e-3, {int(args.sp_steps * 0.7): 0.1}))
+        opt = tx.init(sp_params)
+        step = make_superpoint_joint_train_step(net, tx, lambda_desc=1.0)
+        for it in range(args.sp_steps):
+            imgs, corners, counts = synthetic_shapes_batch(
+                rng, args.sp_batch, sp_hw)
+            labels = jnp.asarray(corners_to_cell_labels(
+                corners, (sp_hw, sp_hw), counts))
+            im0, im1, H = pair_batch(args.sp_batch)
+            sp_params, opt, m = step(sp_params, opt, jnp.asarray(imgs),
+                                     labels, jnp.asarray(im0),
+                                     jnp.asarray(im1), jnp.asarray(H))
+            if it % 100 == 0:
+                log(f"SP step {it} det {float(m['det_loss']):.3f} "
+                    f"desc {float(m['desc_loss']):.3f} "
+                    f"({time.time() - t0:.0f}s)")
+        maybe_save("superpoint", sp_params)
+
+    # Fixed-k extractor sharing the trained net params.
+    sp = SuperPoint(max_keypoints=k, keypoint_threshold=0.001,
+                    descriptor_dim=args.desc_dim)
+    sp_full = {"params": {"net": sp_params["params"]}}
+
+    @jax.jit
+    def extract(gray):           # [B, hw, hw, 1] -> dict
+        return sp.apply(sp_full, gray)
+
+    # ---- Phase 2: SuperGlue on trained-SP keypoints -------------------
+    log("generating scene pairs for SG training/eval...")
+    tmp = tempfile.mkdtemp(prefix="oetr_matchdemo_")
+    train_txt = generate_scene(os.path.join(tmp, "train"),
+                               n_pairs=args.train_pairs, image_hw=hw,
+                               seed=1, scale_range=(1.0, 2.0),
+                               p_translate=0.5)
+    val_txt = generate_scene(os.path.join(tmp, "val"),
+                             n_pairs=args.val_pairs, image_hw=hw, seed=99,
+                             scale_range=(1.0, 2.0), p_translate=0.5)
+    train_ds = MegaDepthPairsDataset(os.path.join(tmp, "train"), train_txt,
+                                     image_size=(hw, hw), train=False)
+    val_ds = MegaDepthPairsDataset(os.path.join(tmp, "val"), val_txt,
+                                   image_size=(hw, hw), train=False)
+
+    def gray_of(item, key):
+        return np.dot(item[key][..., :3],
+                      [0.299, 0.587, 0.114]).astype(np.float32)[..., None]
+
+    def sp_data(items):
+        """Extract SP features for a list of pairs; build SG batch."""
+        g0 = jnp.asarray(np.stack([gray_of(it, "image1") for it in items]))
+        g1 = jnp.asarray(np.stack([gray_of(it, "image2") for it in items]))
+        e0 = extract(g0)
+        e1 = extract(g1)
+        return e0, e1
+
+    sg = SuperGlue(descriptor_dim=args.desc_dim)
+    dummy = {
+        "keypoints0": jnp.zeros((1, k, 2)), "keypoints1": jnp.zeros((1, k, 2)),
+        "scores0": jnp.zeros((1, k)), "scores1": jnp.zeros((1, k)),
+        "descriptors0": jnp.zeros((1, k, args.desc_dim)),
+        "descriptors1": jnp.zeros((1, k, args.desc_dim)),
+        "valid0": jnp.ones((1, k), bool), "valid1": jnp.ones((1, k), bool),
+        "image_hw0": (hw, hw), "image_hw1": (hw, hw),
+    }
+    # image_hw are shape statics: close over them so jit doesn't trace.
+    _d = {key: v for key, v in dummy.items()
+          if not key.startswith("image_hw")}
+    sg_params = jax.jit(lambda kk, dd: sg.init(
+        kk, dict(dd, image_hw0=(hw, hw), image_hw1=(hw, hw))))(
+            jax.random.key(1), _d)
+    sg_params, sg_restored = maybe_restore("superglue", sg_params)
+
+    if not sg_restored and args.sg_steps > 0:
+        # Pre-extract features + GT for every training pair (static data).
+        feats = []
+        for start in range(0, len(train_ds), 16):
+            items = [train_ds[i] for i in range(
+                start, min(start + 16, len(train_ds)))]
+            e0, e1 = sp_data(items)
+            for j, it_ in enumerate(items):
+                T = it_["pose2"] @ np.linalg.inv(it_["pose1"])
+                gt = gt_matches_from_geometry(
+                    np.asarray(e0["keypoints"][j]),
+                    np.asarray(e0["valid"][j]),
+                    np.asarray(e1["keypoints"][j]),
+                    np.asarray(e1["valid"][j]),
+                    it_["depth1"], it_["intrinsics1"], T,
+                    it_["intrinsics2"])
+                feats.append({
+                    "keypoints0": np.asarray(e0["keypoints"][j]),
+                    "keypoints1": np.asarray(e1["keypoints"][j]),
+                    "scores0": np.asarray(e0["scores"][j]),
+                    "scores1": np.asarray(e1["scores"][j]),
+                    "descriptors0": np.asarray(e0["descriptors"][j]),
+                    "descriptors1": np.asarray(e1["descriptors"][j]),
+                    "valid0": np.asarray(e0["valid"][j]),
+                    "valid1": np.asarray(e1["valid"][j]),
+                    "gt_matches0": gt,
+                })
+        n_gt = float(np.mean([int((f["gt_matches0"] >= 0).sum())
+                              for f in feats]))
+        log(f"SG training data ready: {len(feats)} pairs, "
+            f"{n_gt:.0f} GT matches/pair ({time.time() - t0:.0f}s)")
+
+        tx = optax.adam(optax.piecewise_constant_schedule(
+            1e-4, {int(args.sg_steps * 0.7): 0.1}))
+        opt = tx.init(sg_params)
+        sg_step = make_superglue_train_step(sg, tx)
+        order = rng.permutation(len(feats))
+        pos = 0
+        for it in range(args.sg_steps):
+            idx = [int(order[(pos + j) % len(feats)])
+                   for j in range(args.sg_batch)]
+            pos += args.sg_batch
+            if pos >= len(feats):
+                order = rng.permutation(len(feats))
+                pos = 0
+            batch = {key: jnp.asarray(np.stack([feats[i][key] for i in idx]))
+                     for key in feats[0]}
+            batch["image_hw0"] = (hw, hw)
+            batch["image_hw1"] = (hw, hw)
+            sg_params, opt, m = sg_step(sg_params, opt, batch)
+            if it % 100 == 0:
+                log(f"SG step {it} nll {float(m['loss']):.4f} "
+                    f"({time.time() - t0:.0f}s)")
+        maybe_save("superglue", sg_params)
+
+    @jax.jit
+    def _sg_match(data):
+        return sg.apply(sg_params,
+                        dict(data, image_hw0=(hw, hw), image_hw1=(hw, hw)))
+
+    def sg_match(data):
+        return _sg_match({key: v for key, v in data.items()
+                          if not key.startswith("image_hw")})
+
+    # ---- Phase 3: eval — SIFT+NN vs SP+NN vs SP+SG --------------------
+    items = [val_ds[i] for i in range(len(val_ds))]
+
+    def score(run_pair):
+        errors, precisions, n_match = [], [], []
+        for it_ in items:
+            xy0, xy1, matches = run_pair(it_)
+            n_match.append(matches.shape[1])
+            T = it_["pose2"] @ np.linalg.inv(it_["pose1"])
+            res = validation_error(xy0, xy1, matches, it_["intrinsics1"],
+                                   it_["intrinsics2"], T)
+            errors.append(max(res["error_t"], res["error_R"]))
+            precisions.append(res["precision"])
+        aucs = pose_auc(errors, [5, 10, 20])
+        return {"auc@5": round(float(aucs[0]), 4),
+                "auc@10": round(float(aucs[1]), 4),
+                "auc@20": round(float(aucs[2]), 4),
+                "precision": round(float(np.mean(precisions)), 4),
+                "matches_per_pair": round(float(np.mean(n_match)), 1)}
+
+    def sift_nn(it_):
+        g0 = cv2.cvtColor((it_["image1"] * 255).astype(np.uint8),
+                          cv2.COLOR_RGB2GRAY)
+        g1 = cv2.cvtColor((it_["image2"] * 255).astype(np.uint8),
+                          cv2.COLOR_RGB2GRAY)
+        xy0, _, v0, d0 = sift_keypoints(g0, k, with_descriptors=True)
+        xy1, _, v1, d1 = sift_keypoints(g1, k, with_descriptors=True)
+        m = nearest_neighbor_match(jnp.asarray(d0)[None],
+                                   jnp.asarray(d1)[None],
+                                   jnp.asarray(v0)[None],
+                                   jnp.asarray(v1)[None],
+                                   ratio_threshold=0.95)
+        m0 = np.asarray(m["matches0"][0])
+        sel = m0 > -1
+        return xy0, xy1, np.stack([np.nonzero(sel)[0], m0[sel]])
+
+    def sp_pair(it_):
+        e0, e1 = sp_data([it_])
+        return e0, e1
+
+    def sp_nn(it_):
+        e0, e1 = sp_pair(it_)
+        m = nearest_neighbor_match(e0["descriptors"], e1["descriptors"],
+                                   e0["valid"], e1["valid"],
+                                   ratio_threshold=0.95)
+        m0 = np.asarray(m["matches0"][0])
+        sel = (m0 > -1) & np.asarray(e0["valid"][0])
+        return (np.asarray(e0["keypoints"][0]), np.asarray(e1["keypoints"][0]),
+                np.stack([np.nonzero(sel)[0], m0[sel]]))
+
+    def sp_sg(it_):
+        e0, e1 = sp_pair(it_)
+        data = {
+            "keypoints0": e0["keypoints"], "keypoints1": e1["keypoints"],
+            "scores0": e0["scores"], "scores1": e1["scores"],
+            "descriptors0": e0["descriptors"],
+            "descriptors1": e1["descriptors"],
+            "valid0": e0["valid"], "valid1": e1["valid"],
+            "image_hw0": (hw, hw), "image_hw1": (hw, hw),
+        }
+        m = sg_match(data)
+        m0 = np.asarray(m["matches0"][0])
+        sel = (m0 > -1) & np.asarray(e0["valid"][0])
+        return (np.asarray(e0["keypoints"][0]), np.asarray(e1["keypoints"][0]),
+                np.stack([np.nonzero(sel)[0], m0[sel]]))
+
+    rows = {"sift_nn": score(sift_nn), "sp_nn": score(sp_nn),
+            "sp_sg": score(sp_sg)}
+    print(json.dumps({
+        "metric": "learned_matching_pose_auc",
+        "sp_steps": args.sp_steps, "sg_steps": args.sg_steps,
+        "hw": hw, "topk": k, "val_pairs": args.val_pairs,
+        **rows,
+        "wall_s": round(time.time() - t0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

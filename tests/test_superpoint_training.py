@@ -71,3 +71,72 @@ def test_superpoint_detector_trains(rng):
     assert losses[-1] < 0.3 * losses[0], (losses[0], losses[-1])
     assert hit1 > hit0 + 0.2, (hit0, hit1)
     assert hit1 > 0.6, hit1
+
+
+def test_superpoint_descriptor_trains(rng):
+    """Joint detector+descriptor training: the hinge loss falls and
+    held-out homography-pair cell correspondences become mutual-NN
+    retrievable by descriptor similarity."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from oetr_tpu.models.superpoint import SuperPointNet
+    from oetr_tpu.training.superpoint import (
+        cell_centers, corners_to_cell_labels, descriptor_hinge_loss,
+        homography_pairs_batch, make_superpoint_joint_train_step,
+        synthetic_shapes_batch)
+
+    hw = 64
+    net = SuperPointNet(descriptor_dim=64)
+    params = net.init(jax.random.key(0), jnp.zeros((1, hw, hw, 1)))
+    tx = optax.adam(2e-3)
+    opt_state = tx.init(params)
+    step = make_superpoint_joint_train_step(net, tx, lambda_desc=1.0)
+
+    first_desc = last_desc = None
+    for it in range(50):
+        imgs, corners, counts = synthetic_shapes_batch(rng, 4, hw)
+        labels = jnp.asarray(corners_to_cell_labels(corners, (hw, hw),
+                                                    counts))
+        im0, im1, H = homography_pairs_batch(rng, 4, hw)
+        params, opt_state, m = step(params, opt_state, jnp.asarray(imgs),
+                                    labels, jnp.asarray(im0),
+                                    jnp.asarray(im1), jnp.asarray(H))
+        if first_desc is None:
+            first_desc = float(m["desc_loss"])
+        last_desc = float(m["desc_loss"])
+    assert last_desc < 0.6 * first_desc, (first_desc, last_desc)
+
+    # Held-out pair: cells whose warped center stays inside should find
+    # their counterpart as descriptor nearest neighbour far above chance.
+    im0, im1, H = homography_pairs_batch(rng, 2, hw)
+    _, d0 = net.apply(params, jnp.asarray(im0))
+    _, d1 = net.apply(params, jnp.asarray(im1))
+    b, hc, wc, dd = d0.shape
+    n = hc * wc
+    centers = cell_centers(hc, wc)
+    pts = jnp.concatenate([centers, jnp.ones((n, 1))], axis=-1)
+    warped = jnp.einsum("bij,nj->bni", jnp.asarray(H), pts)
+    warped = warped[..., :2] / warped[..., 2:]
+    hits = total = 0
+    for i in range(b):
+        dist = np.linalg.norm(np.asarray(warped)[i][:, None]
+                              - np.asarray(centers)[None], axis=-1)
+        gt = dist.argmin(1)
+        visible = dist.min(1) < 4.0
+        sim = np.asarray(jnp.einsum(
+            "nd,md->nm", d0[i].reshape(n, dd), d1[i].reshape(n, dd)))
+        pred = sim.argmax(1)
+        hits += int(((pred == gt) & visible).sum())
+        total += int(visible.sum())
+    assert total > 10
+    acc = hits / total
+    # 50 CPU steps only reaches the early phase (the hinge first passes
+    # through an all-descriptors-similar plateau, ~0.77 loss, before
+    # differentiating — measured trajectory: acc 0.09-0.14 @50 steps,
+    # 0.16-0.26 @200-300); assert well above the 1/n chance floor. The
+    # TPU-scale run (scripts/train_matching_demo.py) does the real work.
+    assert acc > 4.0 / n, f"cell retrieval {acc} (chance {1/n:.3f})"
+    assert acc > 0.05, f"cell retrieval accuracy {acc}"

@@ -131,3 +131,50 @@ def test_contextdesc_full_network(rng):
     assert (np.asarray(match)[0, 15:] == 0).all()
     assert ((np.asarray(match)[0, :15] > 0) &
             (np.asarray(match)[0, :15] < 1)).all()
+
+
+def test_contextdesc_trains(rng):
+    """ContextDesc trains from scratch: the correspondence InfoNCE falls
+    and the matchability head separates matched from unmatched
+    keypoints on held-out homography pairs."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from oetr_tpu.models.sift_based import ContextDesc
+    from oetr_tpu.training.contextdesc import (contextdesc_pairs_batch,
+                                               make_contextdesc_train_step)
+
+    hw, k = 96, 64
+    net = ContextDesc(regional_dim=16, hidden=64)
+    b0 = contextdesc_pairs_batch(rng, 2, hw, k)
+    jb = {key: jnp.asarray(v) for key, v in b0.items()}
+    params = net.init(jax.random.key(0), jb["image0"], jb["desc0"],
+                      jb["xy0"], jb["scores0"], jb["valid0"])
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    step = make_contextdesc_train_step(net, tx, w_match=1.0)
+
+    first = last = None
+    for it in range(150):
+        batch = contextdesc_pairs_batch(rng, 2, hw, k)
+        batch = {key: jnp.asarray(v) for key, v in batch.items()}
+        params, opt, m = step(params, opt, batch)
+        if first is None:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert last < 0.7 * first, (first, last)
+
+    # Held-out: matchability mean for GT-matched kpts > unmatched kpts.
+    batch = contextdesc_pairs_batch(rng, 4, hw, k)
+    jb = {key: jnp.asarray(v) for key, v in batch.items()}
+    _, match = net.apply(params, jb["image0"], jb["desc0"], jb["xy0"],
+                         jb["scores0"], jb["valid0"])
+    match = np.asarray(match)
+    has = batch["gt_matches0"] >= 0
+    v = batch["valid0"]
+    pos = match[has & v].mean()
+    neg = match[~has & v].mean()
+    # Separation emerges slowly at CPU scale (measured +0.015-0.03 by
+    # 100-200 steps); assert the direction, TPU-scale runs sharpen it.
+    assert pos > neg + 0.005, (pos, neg)

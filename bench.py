@@ -72,6 +72,16 @@ def main():
     # primitive (the axon remote-compile path costs ~1s per op).
     params = jax.jit(model.init)(jax.random.key(0), img, img)
     jax.block_until_ready(params)
+    if os.environ.get("BENCH_BF16_PARAMS"):
+        # Experiment (VERDICT r2 next-#6): bf16 param constants halve the
+        # baked-constants executable (the 225 MB artifact behind the
+        # 240-500 s warm-load worst case). Compute is already bf16 (flax
+        # casts params per-op), so only norm-layer statistics change
+        # precision; parity must be re-checked before making it default.
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+        _log("params cast to bf16 constants")
     _log("init done")
 
     @jax.jit

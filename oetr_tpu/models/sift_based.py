@@ -5,12 +5,16 @@ Host components (cv2) feeding fixed-k device arrays:
   * ``landmark_extract`` — SIFT keypoints only, for template-matching use
     cases (parity: /root/reference/dloc/core/extractors/landmark.py:17-40,
     conf topk 2048 at extract_features.py:113-126).
-  * ``ContextDescAugmenter`` — SIFT keypoints + descriptors with a
-    learned augmentation MLP over (descriptor, normalized location,
-    score) in flax, standing in for the reference's TF .pb ContextDesc
-    model (/root/reference/dloc/core/extractors/contextdesc.py:22-70;
-    the original's regional/visual-context towers are unavailable — the
-    reference itself cannot run without its closed TF checkpoint).
+  * ``ContextDesc`` — the full augmentation network from the paper
+    (Luo et al., CVPR 2019): regional visual tower sampled at keypoints
+    + geometric context-normalized tower + residual fusion +
+    matchability head, trainable from scratch
+    (training/contextdesc.py: InfoNCE over homography correspondences +
+    matchability BCE). The reference only wraps a closed TF .pb of this
+    model (/root/reference/dloc/core/extractors/contextdesc.py:22-70)
+    and cannot run without that checkpoint.
+  * ``ContextDescAugmenter`` — the lighter MLP variant (descriptor,
+    normalized location, score) kept for cheap augmentation.
 """
 from __future__ import annotations
 

@@ -247,7 +247,8 @@ def main():
         for start in range(0, len(train_ds), 16):
             items = [train_ds[i] for i in range(
                 start, min(start + 16, len(train_ds)))]
-            e0, e1 = sp_data(items)
+            pad = 16 - len(items)      # keep one batch-16 executable
+            e0, e1 = sp_data(items + [items[-1]] * pad)
             for j, it_ in enumerate(items):
                 T = it_["pose2"] @ np.linalg.inv(it_["pose1"])
                 gt = gt_matches_from_geometry(
@@ -306,12 +307,25 @@ def main():
                           if not key.startswith("image_hw")})
 
     # ---- Phase 3: eval — SIFT+NN vs SP+NN vs SP+SG --------------------
+    # SP features for all val pairs in chunks of 16 (padding the last
+    # chunk) so extraction reuses the phase-2 batch-16 executable — every
+    # distinct batch shape costs minutes of remote compile on axon.
     items = [val_ds[i] for i in range(len(val_ds))]
+    val_feats = []
+    CH = 16
+    for start in range(0, len(items), CH):
+        chunk = items[start:start + CH]
+        pad = CH - len(chunk)
+        e0, e1 = sp_data(chunk + [chunk[-1]] * pad)
+        for j in range(len(chunk)):
+            val_feats.append((
+                {key: np.asarray(v[j]) for key, v in e0.items()},
+                {key: np.asarray(v[j]) for key, v in e1.items()}))
 
     def score(run_pair):
         errors, precisions, n_match = [], [], []
-        for it_ in items:
-            xy0, xy1, matches = run_pair(it_)
+        for pi, it_ in enumerate(items):
+            xy0, xy1, matches = run_pair(pi, it_)
             n_match.append(matches.shape[1])
             T = it_["pose2"] @ np.linalg.inv(it_["pose1"])
             res = validation_error(xy0, xy1, matches, it_["intrinsics1"],
@@ -325,7 +339,7 @@ def main():
                 "precision": round(float(np.mean(precisions)), 4),
                 "matches_per_pair": round(float(np.mean(n_match)), 1)}
 
-    def sift_nn(it_):
+    def sift_nn(pi, it_):
         g0 = cv2.cvtColor((it_["image1"] * 255).astype(np.uint8),
                           cv2.COLOR_RGB2GRAY)
         g1 = cv2.cvtColor((it_["image2"] * 255).astype(np.uint8),
@@ -341,34 +355,51 @@ def main():
         sel = m0 > -1
         return xy0, xy1, np.stack([np.nonzero(sel)[0], m0[sel]])
 
-    def sp_pair(it_):
-        e0, e1 = sp_data([it_])
-        return e0, e1
-
-    def sp_nn(it_):
-        e0, e1 = sp_pair(it_)
-        m = nearest_neighbor_match(e0["descriptors"], e1["descriptors"],
-                                   e0["valid"], e1["valid"],
+    def sp_nn(pi, it_):
+        e0, e1 = val_feats[pi]
+        m = nearest_neighbor_match(jnp.asarray(e0["descriptors"])[None],
+                                   jnp.asarray(e1["descriptors"])[None],
+                                   jnp.asarray(e0["valid"])[None],
+                                   jnp.asarray(e1["valid"])[None],
                                    ratio_threshold=0.95)
         m0 = np.asarray(m["matches0"][0])
-        sel = (m0 > -1) & np.asarray(e0["valid"][0])
-        return (np.asarray(e0["keypoints"][0]), np.asarray(e1["keypoints"][0]),
+        sel = (m0 > -1) & e0["valid"]
+        return (e0["keypoints"], e1["keypoints"],
                 np.stack([np.nonzero(sel)[0], m0[sel]]))
 
-    def sp_sg(it_):
-        e0, e1 = sp_pair(it_)
+    # SG matching over the whole val set in batch-8 chunks (the phase-2
+    # train-step shape is [8, K]; matching reuses nothing from it, but a
+    # single batched executable beats 40 batch-1 compiles).
+    sg_m0 = []
+    for start in range(0, len(val_feats), args.sg_batch):
+        chunk = val_feats[start:start + args.sg_batch]
+        pad = args.sg_batch - len(chunk)
+        padded = chunk + [chunk[-1]] * pad
         data = {
-            "keypoints0": e0["keypoints"], "keypoints1": e1["keypoints"],
-            "scores0": e0["scores"], "scores1": e1["scores"],
-            "descriptors0": e0["descriptors"],
-            "descriptors1": e1["descriptors"],
-            "valid0": e0["valid"], "valid1": e1["valid"],
-            "image_hw0": (hw, hw), "image_hw1": (hw, hw),
+            "keypoints0": jnp.asarray(
+                np.stack([c[0]["keypoints"] for c in padded])),
+            "keypoints1": jnp.asarray(
+                np.stack([c[1]["keypoints"] for c in padded])),
+            "scores0": jnp.asarray(
+                np.stack([c[0]["scores"] for c in padded])),
+            "scores1": jnp.asarray(
+                np.stack([c[1]["scores"] for c in padded])),
+            "descriptors0": jnp.asarray(
+                np.stack([c[0]["descriptors"] for c in padded])),
+            "descriptors1": jnp.asarray(
+                np.stack([c[1]["descriptors"] for c in padded])),
+            "valid0": jnp.asarray(np.stack([c[0]["valid"] for c in padded])),
+            "valid1": jnp.asarray(np.stack([c[1]["valid"] for c in padded])),
         }
         m = sg_match(data)
-        m0 = np.asarray(m["matches0"][0])
-        sel = (m0 > -1) & np.asarray(e0["valid"][0])
-        return (np.asarray(e0["keypoints"][0]), np.asarray(e1["keypoints"][0]),
+        for j in range(len(chunk)):
+            sg_m0.append(np.asarray(m["matches0"][j]))
+
+    def sp_sg(pi, it_):
+        e0, e1 = val_feats[pi]
+        m0 = sg_m0[pi]
+        sel = (m0 > -1) & e0["valid"]
+        return (e0["keypoints"], e1["keypoints"],
                 np.stack([np.nonzero(sel)[0], m0[sel]]))
 
     rows = {"sift_nn": score(sift_nn), "sp_nn": score(sp_nn),

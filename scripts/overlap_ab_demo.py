@@ -76,6 +76,19 @@ def main():
     ap.add_argument("--ckpt_dir", type=str, default="",
                     help="orbax checkpoint dir: resume from the latest "
                          "step if present, save the final state")
+    ap.add_argument("--save_every", type=int, default=1000,
+                    help="with --ckpt_dir: also save every N steps (the "
+                         "tunneled TPU backend leaks ~25 MB/step of host "
+                         "memory — long runs must checkpoint so a "
+                         "restart loop can bound the leak)")
+    ap.add_argument("--data_dir", type=str, default="",
+                    help="persistent dataset dir: generate once, reuse "
+                         "on restart (512-pair generation costs ~10 min "
+                         "of CPU)")
+    ap.add_argument("--skip_eval", action="store_true",
+                    help="train/checkpoint only (for intermediate "
+                         "segments of a restart loop); prints a short "
+                         "JSON instead of the A/B table")
     args = ap.parse_args()
 
     import cv2
@@ -96,15 +109,21 @@ def main():
 
     t0 = time.time()
     hw = args.hw
-    tmp = tempfile.mkdtemp(prefix="oetr_ab_")
-    train_txt = generate_scene(os.path.join(tmp, "train"),
-                               n_pairs=args.train_pairs, image_hw=hw,
-                               seed=0,
-                               scale_range=(args.train_scale_min, 3.2),
-                               p_translate=args.train_translate_frac)
-    val_txt = generate_scene(os.path.join(tmp, "val"),
-                             n_pairs=args.val_pairs, image_hw=hw,
-                             seed=999, scale_range=(1.8, 3.2))
+    tmp = args.data_dir or tempfile.mkdtemp(prefix="oetr_ab_")
+    train_txt = os.path.join(tmp, "train", "pairs.txt")
+    val_txt = os.path.join(tmp, "val", "pairs.txt")
+    if not (args.data_dir and os.path.exists(train_txt)
+            and os.path.exists(val_txt)):
+        train_txt = generate_scene(os.path.join(tmp, "train"),
+                                   n_pairs=args.train_pairs, image_hw=hw,
+                                   seed=0,
+                                   scale_range=(args.train_scale_min, 3.2),
+                                   p_translate=args.train_translate_frac)
+        val_txt = generate_scene(os.path.join(tmp, "val"),
+                                 n_pairs=args.val_pairs, image_hw=hw,
+                                 seed=999, scale_range=(1.8, 3.2))
+    else:
+        print(f"# reusing dataset at {tmp}", file=sys.stderr, flush=True)
     train_ds = MegaDepthPairsDataset(os.path.join(tmp, "train"), train_txt,
                                      image_size=(hw, hw), train=True)
     val_ds = MegaDepthPairsDataset(os.path.join(tmp, "val"), val_txt,
@@ -136,6 +155,8 @@ def main():
             start_step = last
             print(f"# resumed from step {last}", file=sys.stderr, flush=True)
     rng = jax.random.key(1)
+    if start_step:
+        rng = jax.random.fold_in(rng, start_step)
     it, last_loss = start_step, float("nan")
     while it < args.steps:
         train_ds.build_dataset()
@@ -152,6 +173,12 @@ def main():
                       f"({time.time() - t0:.0f}s)", file=sys.stderr,
                       flush=True)
             it += 1
+            if (ckpt_dir and args.save_every
+                    and it % args.save_every == 0 and it < args.steps):
+                from oetr_tpu.training.train import save_checkpoint
+                save_checkpoint(ckpt_dir, state, it)
+                print(f"# checkpoint step {it}", file=sys.stderr,
+                      flush=True)
 
     if ckpt_dir and it > start_step:
         # it == start_step means training was skipped (resumed at the
@@ -160,6 +187,15 @@ def main():
         from oetr_tpu.training.train import save_checkpoint
         save_checkpoint(ckpt_dir, state, it)
         print(f"# saved checkpoint step {it}", file=sys.stderr, flush=True)
+
+    if args.skip_eval:
+        print(json.dumps({"metric": "overlap_ab_train_segment",
+                          "steps": it,
+                          "train_loss_last": (round(last_loss, 4)
+                                              if np.isfinite(last_loss)
+                                              else None),
+                          "wall_s": round(time.time() - t0, 1)}))
+        return
 
     # --- held-out evaluation: three matching modes -----------------------
     items = [val_ds[i] for i in range(len(val_ds))]

@@ -161,7 +161,10 @@ def main():
             Hs = np.zeros((b, 3, 3), np.float64)
             for i in range(b):
                 g = pool[int(rng.integers(len(pool)))]
-                H = random_homography(rng, (sp_hw, sp_hw))
+                # Scale range spans the eval regime (scene pairs dolly
+                # up to 2x) so descriptors see the full scale gap.
+                H = random_homography(rng, (sp_hw, sp_hw),
+                                      scale_range=(0.55, 1.8))
                 im0[i, :, :, 0] = g
                 im1[i, :, :, 0] = cv2.warpPerspective(
                     g, H, (sp_hw, sp_hw), flags=cv2.INTER_LINEAR,

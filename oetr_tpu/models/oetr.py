@@ -250,6 +250,14 @@ class OETR(nn.Module):
             "center1": center1, "center2": center2,
             "tlbr1": tlbr1, "tlbr2": tlbr2,
             "prob_map1": prob1, "prob_map2": prob2,
+            # Contextualized encoder tokens [B, N, d] — consumed by the
+            # auxiliary coarse-correspondence loss (training/losses.py:
+            # token_infonce_loss), which supervises cross-image feature
+            # matching directly; without pretrained backbone weights the
+            # box losses alone give no gradient toward cross-SCALE
+            # matching (observed: uniform heatmaps on scale_diff>2).
+            "mem1": mem1.astype(jnp.float32),
+            "mem2": mem2.astype(jnp.float32),
         }
         if with_cycle:
             # Cheap cycle consistency: centers re-estimated with swapped

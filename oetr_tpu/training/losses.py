@@ -9,6 +9,7 @@ the reference drops invalid rows via fancy indexing, src/model.py:257-269).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..geometry.boxes import (bbox_overlaps_aligned, bbox_oiou,
@@ -212,3 +213,100 @@ def cycle_overlap_loss(pred_bbox1: Array, pred_bbox2: Array, K1: Array,
                                   pred_bbox1, K1, depth1, T1, crop1, ratio1)
     ok = valid & ok12 & ok21
     return _masked_mean((l12 + l21) / 2.0, ok)
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary coarse-correspondence supervision (token InfoNCE)
+# ---------------------------------------------------------------------------
+
+
+def token_matches_from_geometry(K1: Array, depth1: Array, T1: Array,
+                                crop1: Array, ratio1: Array, K2: Array,
+                                T2: Array, crop2: Array, ratio2: Array,
+                                hw2: tuple[int, int], stride: int):
+    """GT coarse-token correspondence for one pair: token i of image1 ->
+    token index in image2 (or -1).
+
+    Samples the dense depth warp (geometry.overlap.warp_grid_via_depth)
+    at token-center pixels of image1's stride-``stride`` grid, and bins
+    the warped coordinate into image2's token grid. A token is matched
+    when its center has depth and lands inside image2.
+
+    Returns (gt [N] int32, valid [N] bool) with N = (H1/stride)*(W1/stride).
+    """
+    from ..geometry.overlap import warp_grid_via_depth
+
+    h1, w1 = depth1.shape
+    h2, w2 = hw2
+    uv2, _, has_depth = warp_grid_via_depth(
+        K1, depth1, T1, crop1, ratio1, K2, T2, crop2, ratio2)
+    hf1, wf1 = h1 // stride, w1 // stride
+    hf2, wf2 = h2 // stride, w2 // stride
+    cy = jnp.arange(hf1) * stride + stride // 2
+    cx = jnp.arange(wf1) * stride + stride // 2
+    centers_uv = uv2[cy[:, None], cx[None, :]]        # [hf1, wf1, 2]
+    centers_ok = has_depth[cy[:, None], cx[None, :]]
+    tx = jnp.floor(centers_uv[..., 0] / stride).astype(jnp.int32)
+    ty = jnp.floor(centers_uv[..., 1] / stride).astype(jnp.int32)
+    inside = (tx >= 0) & (tx < wf2) & (ty >= 0) & (ty < hf2)
+    ok = centers_ok & inside
+    idx = jnp.where(ok, ty * wf2 + tx, -1)
+    return idx.reshape(-1), ok.reshape(-1)
+
+
+def token_infonce_loss(mem1: Array, mem2: Array, gt1: Array, valid1: Array,
+                       temp: float = 0.1) -> Array:
+    """InfoNCE over contextualized tokens: matched image1 tokens must
+    retrieve their geometric counterpart among image2 tokens.
+
+    This is the LoFTR-style coarse-matching supervision
+    (dual-softmax over the token similarity matrix) applied to OETR's
+    encoder memory: it provides the direct cross-image (and crucially
+    cross-SCALE) feature-matching gradient that box-level losses do not.
+
+    mem1/mem2: [B, N, d]; gt1 [B, N] int (-1 unmatched); valid1 [B, N].
+    """
+    n1 = mem1 / jnp.maximum(
+        jnp.linalg.norm(mem1, axis=-1, keepdims=True), 1e-6)
+    n2 = mem2 / jnp.maximum(
+        jnp.linalg.norm(mem2, axis=-1, keepdims=True), 1e-6)
+    sim = jnp.einsum("bnd,bmd->bnm", n1, n2) / temp
+    logp = jax.nn.log_softmax(sim, axis=-1)
+    tgt = jnp.maximum(gt1, 0)
+    ll = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    has = (gt1 >= 0) & valid1
+    return -jnp.sum(jnp.where(has, ll, 0.0)) / jnp.maximum(jnp.sum(has), 1.0)
+
+
+def aux_match_loss(outputs: dict, batch: dict, stride: int,
+                   temp: float = 0.1) -> Array:
+    """Symmetric token InfoNCE from raw batch geometry (both directions).
+
+    Needs batch keys K1/K2, depth1/depth2, pose1/pose2, crop1/crop2,
+    ratio1/ratio2 (the same set the depth-warped cycle loss consumes,
+    MegaDepthPairsDataset.batches(geometry=True)).
+    """
+    import jax as _jax
+
+    h2w2 = batch["image2"].shape[1:3]
+    h1w1 = batch["image1"].shape[1:3]
+    gt12, ok12 = _jax.vmap(
+        lambda K1, d1, T1, c1, r1, K2, T2, c2, r2:
+        token_matches_from_geometry(K1, d1, T1, c1, r1, K2, T2, c2, r2,
+                                    h2w2, stride))(
+        batch["K1"], batch["depth1"], batch["pose1"], batch["crop1"],
+        batch["ratio1"], batch["K2"], batch["pose2"], batch["crop2"],
+        batch["ratio2"])
+    gt21, ok21 = _jax.vmap(
+        lambda K2, d2, T2, c2, r2, K1, T1, c1, r1:
+        token_matches_from_geometry(K2, d2, T2, c2, r2, K1, T1, c1, r1,
+                                    h1w1, stride))(
+        batch["K2"], batch["depth2"], batch["pose2"], batch["crop2"],
+        batch["ratio2"], batch["K1"], batch["pose1"], batch["crop1"],
+        batch["ratio1"])
+    v = batch["overlap_valid"][:, None]
+    l12 = token_infonce_loss(outputs["mem1"], outputs["mem2"], gt12,
+                             ok12 & v, temp)
+    l21 = token_infonce_loss(outputs["mem2"], outputs["mem1"], gt21,
+                             ok21 & v, temp)
+    return (l12 + l21) / 2.0

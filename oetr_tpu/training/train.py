@@ -62,7 +62,8 @@ def create_train_state(model_cfg: OETRConfig, train_cfg: TrainConfig,
 
 
 def loss_fn(model: OETR, params, batch: dict, dropout_rng, cycle: bool,
-            oiou: bool, full_cycle: bool = False):
+            oiou: bool, full_cycle: bool = False,
+            aux_match_weight: float = 0.0, aux_match_stride: int = 32):
     """Forward + loss on one (sharded) batch.
 
     batch keys: image1/image2 [B,H,W,3], overlap_box1/2 [B,4],
@@ -88,13 +89,23 @@ def loss_fn(model: OETR, params, batch: dict, dropout_rng, cycle: bool,
             batch["crop1"], batch["ratio1"],
             batch["K2"], batch["depth2"], batch["pose2"],
             batch["crop2"], batch["ratio2"], batch["overlap_valid"])
+    if aux_match_weight > 0.0:
+        # Coarse-correspondence InfoNCE on encoder tokens: direct
+        # cross-scale matching supervision (needs geometry batch keys;
+        # see losses.aux_match_loss). Without it a from-scratch backbone
+        # never learns scale_diff>2 matching from box losses alone.
+        from .losses import aux_match_loss
+        losses["aux_match_loss"] = aux_match_weight * aux_match_loss(
+            out, batch, aux_match_stride)
     return total_loss(losses), losses
 
 
 def make_train_step(model: OETR, tx, mesh: Mesh | None = None,
                     data_axis: str = "data", cycle: bool = False,
                     oiou: bool = False, state_shardings=None,
-                    full_cycle: bool = False):
+                    full_cycle: bool = False,
+                    aux_match_weight: float = 0.0,
+                    aux_match_stride: int = 32):
     """Build the jitted train step.
 
     With a mesh, inputs get NamedSharding constraints: batch split on the
@@ -111,7 +122,8 @@ def make_train_step(model: OETR, tx, mesh: Mesh | None = None,
     def step_fn(state: TrainState, batch: dict, dropout_rng):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: loss_fn(model, p, batch, dropout_rng, cycle, oiou,
-                              full_cycle),
+                              full_cycle, aux_match_weight,
+                              aux_match_stride),
             has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -85,6 +85,11 @@ def main():
                     help="persistent dataset dir: generate once, reuse "
                          "on restart (512-pair generation costs ~10 min "
                          "of CPU)")
+    ap.add_argument("--aux_match", type=float, default=0.0,
+                    help="weight of the auxiliary coarse-correspondence "
+                         "InfoNCE (token matching supervised from the "
+                         "known geometry) — the direct cross-scale "
+                         "matching signal a from-scratch backbone needs")
     ap.add_argument("--skip_eval", action="store_true",
                     help="train/checkpoint only (for intermediate "
                          "segments of a restart loop); prints a short "
@@ -143,7 +148,8 @@ def main():
                             lr=args.lr, lr_milestones=milestones)
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.key(0), (hw, hw))
-    step_fn = make_train_step(model, tx, cycle=True)
+    step_fn = make_train_step(model, tx, cycle=True,
+                              aux_match_weight=args.aux_match)
     ckpt_dir = os.path.abspath(args.ckpt_dir) if args.ckpt_dir else None
     start_step = 0
     if ckpt_dir:
@@ -160,7 +166,8 @@ def main():
     it, last_loss = start_step, float("nan")
     while it < args.steps:
         train_ds.build_dataset()
-        for batch in train_ds.batches(args.batch):
+        for batch in train_ds.batches(args.batch,
+                                      geometry=args.aux_match > 0):
             if it >= args.steps:
                 break
             rng, drop = jax.random.split(rng)
@@ -168,8 +175,10 @@ def main():
             last_loss = float(metrics["loss"])
             if it % 50 == 0:
                 miou = float((metrics["iou1"] + metrics["iou2"]) / 2)
+                aux = (f" aux {float(metrics['aux_match_loss']):.3f}"
+                       if "aux_match_loss" in metrics else "")
                 print(f"# step {it} loss {last_loss:.4f} "
-                      f"train_miou {miou:.3f} "
+                      f"train_miou {miou:.3f}{aux} "
                       f"({time.time() - t0:.0f}s)", file=sys.stderr,
                       flush=True)
             it += 1

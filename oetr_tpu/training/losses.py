@@ -310,3 +310,37 @@ def aux_match_loss(outputs: dict, batch: dict, stride: int,
     l21 = token_infonce_loss(outputs["mem2"], outputs["mem1"], gt21,
                              ok21 & v, temp)
     return (l12 + l21) / 2.0
+
+
+def heatmap_ce_loss(prob_map: Array, gt_box: Array, valid: Array,
+                    image_hw: tuple[int, int]) -> Array:
+    """Cross-entropy of the center heatmap vs uniform-in-GT-box tokens.
+
+    The soft-argmax center L1 alone admits a degenerate optimum (uniform
+    heatmap -> center pixel -> hedged full box; observed on scale_diff>2
+    training even with perfectly discriminative encoder tokens). This
+    supervises the heatmap DENSELY: the softmaxed prob map [B, N] must
+    put its mass on tokens whose centers fall inside the GT overlap box
+    (dense map supervision parallels the reference's FCOS-variant
+    centerness/focal supervision, src/models/head.py).
+
+    prob_map: [B, N] softmax over tokens (model output prob_map1/2 for
+    an hf x wf grid of image_hw). gt_box: [B, 4] xyxy pixels.
+    """
+    b, n = prob_map.shape
+    h, w = image_hw
+    # Token grid side lengths: N = hf * wf with hf/h == wf/w.
+    hf = int(round((n * h / w) ** 0.5))
+    wf = n // hf
+    cy = (jnp.arange(hf, dtype=jnp.float32) + 0.5) * (h / hf)
+    cx = (jnp.arange(wf, dtype=jnp.float32) + 0.5) * (w / wf)
+    gy, gx = jnp.meshgrid(cy, cx, indexing="ij")
+    cxy = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)      # [N, 2]
+    inside = ((cxy[None, :, 0] >= gt_box[:, None, 0])
+              & (cxy[None, :, 0] <= gt_box[:, None, 2])
+              & (cxy[None, :, 1] >= gt_box[:, None, 1])
+              & (cxy[None, :, 1] <= gt_box[:, None, 3]))       # [B, N]
+    tgt = inside.astype(jnp.float32)
+    tgt = tgt / jnp.maximum(jnp.sum(tgt, axis=1, keepdims=True), 1.0)
+    ce = -jnp.sum(tgt * jnp.log(jnp.maximum(prob_map, 1e-9)), axis=1)
+    return _masked_mean(ce, valid)

@@ -63,7 +63,8 @@ def create_train_state(model_cfg: OETRConfig, train_cfg: TrainConfig,
 
 def loss_fn(model: OETR, params, batch: dict, dropout_rng, cycle: bool,
             oiou: bool, full_cycle: bool = False,
-            aux_match_weight: float = 0.0, aux_match_stride: int = 32):
+            aux_match_weight: float = 0.0, aux_match_stride: int = 32,
+            heatmap_weight: float = 0.0):
     """Forward + loss on one (sharded) batch.
 
     batch keys: image1/image2 [B,H,W,3], overlap_box1/2 [B,4],
@@ -97,6 +98,16 @@ def loss_fn(model: OETR, params, batch: dict, dropout_rng, cycle: bool,
         from .losses import aux_match_loss
         losses["aux_match_loss"] = aux_match_weight * aux_match_loss(
             out, batch, aux_match_stride)
+    if heatmap_weight > 0.0:
+        # Dense heatmap supervision: the soft-argmax center L1 alone
+        # admits a uniform-heatmap/hedged-box optimum (losses.py:
+        # heatmap_ce_loss docstring).
+        from .losses import heatmap_ce_loss
+        losses["heatmap_loss"] = heatmap_weight * (
+            heatmap_ce_loss(out["prob_map1"], batch["overlap_box1"],
+                            batch["overlap_valid"], (h1, w1))
+            + heatmap_ce_loss(out["prob_map2"], batch["overlap_box2"],
+                              batch["overlap_valid"], (h2, w2))) / 2.0
     return total_loss(losses), losses
 
 
@@ -105,7 +116,8 @@ def make_train_step(model: OETR, tx, mesh: Mesh | None = None,
                     oiou: bool = False, state_shardings=None,
                     full_cycle: bool = False,
                     aux_match_weight: float = 0.0,
-                    aux_match_stride: int = 32):
+                    aux_match_stride: int = 32,
+                    heatmap_weight: float = 0.0):
     """Build the jitted train step.
 
     With a mesh, inputs get NamedSharding constraints: batch split on the
@@ -123,7 +135,7 @@ def make_train_step(model: OETR, tx, mesh: Mesh | None = None,
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: loss_fn(model, p, batch, dropout_rng, cycle, oiou,
                               full_cycle, aux_match_weight,
-                              aux_match_stride),
+                              aux_match_stride, heatmap_weight),
             has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

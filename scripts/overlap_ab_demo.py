@@ -90,6 +90,9 @@ def main():
                          "InfoNCE (token matching supervised from the "
                          "known geometry) — the direct cross-scale "
                          "matching signal a from-scratch backbone needs")
+    ap.add_argument("--heatmap", type=float, default=0.0,
+                    help="weight of dense heatmap supervision (CE vs "
+                         "uniform-in-GT-box tokens)")
     ap.add_argument("--skip_eval", action="store_true",
                     help="train/checkpoint only (for intermediate "
                          "segments of a restart loop); prints a short "
@@ -149,7 +152,8 @@ def main():
     model, state, tx = create_train_state(model_cfg, train_cfg,
                                           jax.random.key(0), (hw, hw))
     step_fn = make_train_step(model, tx, cycle=True,
-                              aux_match_weight=args.aux_match)
+                              aux_match_weight=args.aux_match,
+                              heatmap_weight=args.heatmap)
     ckpt_dir = os.path.abspath(args.ckpt_dir) if args.ckpt_dir else None
     start_step = 0
     if ckpt_dir:

@@ -104,3 +104,35 @@ def test_aux_match_loss_in_train_step(tmp_path):
         losses.append(float(metrics["aux_match_loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.quick
+def test_heatmap_ce_loss():
+    """Mass inside the GT box minimizes the loss; uniform mass is
+    penalized by the log-ratio of box to image area."""
+    import jax.numpy as jnp
+
+    from oetr_tpu.training.losses import heatmap_ce_loss
+
+    b, hf = 2, 8
+    hw = (256, 256)
+    n = hf * hf
+    box = jnp.asarray(np.tile([64.0, 64.0, 192.0, 192.0], (b, 1)))
+    valid = jnp.ones((b,), bool)
+
+    # Ideal: uniform over the 4x4 token block inside the box.
+    stride = 256 / hf
+    ideal = np.zeros((b, hf, hf), np.float32)
+    for r in range(hf):
+        for c in range(hf):
+            cxy = ((c + 0.5) * stride, (r + 0.5) * stride)
+            if 64 <= cxy[0] <= 192 and 64 <= cxy[1] <= 192:
+                ideal[:, r, c] = 1.0
+    ideal /= ideal.sum(axis=(1, 2), keepdims=True)
+    l_ideal = float(heatmap_ce_loss(jnp.asarray(ideal.reshape(b, n)), box,
+                                    valid, hw))
+    uniform = jnp.full((b, n), 1.0 / n)
+    l_uniform = float(heatmap_ce_loss(uniform, box, valid, hw))
+    assert l_ideal < l_uniform - 0.5
+    np.testing.assert_allclose(l_ideal, np.log(16), rtol=1e-5)
+    np.testing.assert_allclose(l_uniform, np.log(64), rtol=1e-5)

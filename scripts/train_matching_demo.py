@@ -172,8 +172,13 @@ def main():
                 Hs[i] = H
             return im0, im1, Hs
 
-        tx = optax.adam(optax.piecewise_constant_schedule(
-            1e-3, {int(args.sp_steps * 0.7): 0.1}))
+        # Clip: the joint loss NaN'd within 100 TPU steps at plain
+        # adam(1e-3) (loss-spike -> inf grads; CPU runs survived only by
+        # luck of precision).
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.piecewise_constant_schedule(
+                5e-4, {int(args.sp_steps * 0.7): 0.1})))
         opt = tx.init(sp_params)
         step = make_superpoint_joint_train_step(net, tx, lambda_desc=1.0)
         for it in range(args.sp_steps):
@@ -186,9 +191,12 @@ def main():
                                      labels, jnp.asarray(im0),
                                      jnp.asarray(im1), jnp.asarray(H))
             if it % 100 == 0:
-                log(f"SP step {it} det {float(m['det_loss']):.3f} "
-                    f"desc {float(m['desc_loss']):.3f} "
+                det = float(m["det_loss"])
+                des = float(m["desc_loss"])
+                log(f"SP step {it} det {det:.3f} desc {des:.3f} "
                     f"({time.time() - t0:.0f}s)")
+                if not (np.isfinite(det) and np.isfinite(des)):
+                    raise RuntimeError(f"SP training diverged at {it}")
         maybe_save("superpoint", sp_params)
 
     # Fixed-k extractor sharing the trained net params.
@@ -277,8 +285,10 @@ def main():
         log(f"SG training data ready: {len(feats)} pairs, "
             f"{n_gt:.0f} GT matches/pair ({time.time() - t0:.0f}s)")
 
-        tx = optax.adam(optax.piecewise_constant_schedule(
-            1e-4, {int(args.sg_steps * 0.7): 0.1}))
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.piecewise_constant_schedule(
+                1e-4, {int(args.sg_steps * 0.7): 0.1})))
         opt = tx.init(sg_params)
         sg_step = make_superglue_train_step(sg, tx)
         order = rng.permutation(len(feats))

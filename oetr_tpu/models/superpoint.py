@@ -79,8 +79,13 @@ class SuperPointNet(nn.Module):
         desc = nn.Conv(self.descriptor_dim, (1, 1), dtype=self.dtype,
                        name="convDb")(d)
         desc = desc.astype(jnp.float32)
-        desc = desc / jnp.maximum(
-            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+        # Smooth normalization, NOT x/max(||x||, eps): near-zero raw
+        # descriptors (constant border regions) make the hard-floor
+        # gradient explode to inf, which turns global-norm clipping into
+        # NaN (observed: one wide-scale homography batch killed training
+        # at step 1 on TPU). d/dx of x*rsqrt(||x||^2+eps) is bounded.
+        desc = desc * jax.lax.rsqrt(
+            jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-8)
         if with_logits:
             return scores, desc, logits.astype(jnp.float32)
         return scores, desc

@@ -104,5 +104,7 @@ def sample_descriptors(desc_map: Array, xy: Array, stride: int = 8) -> Array:
     # Map full-res pixel centers to descriptor-grid coordinates.
     coords = (xy - stride / 2 + 0.5) / stride
     out = jax.vmap(bilinear_sample)(desc_map, coords)
-    return out / jnp.maximum(
-        jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+    # Smooth normalization (bounded gradient near ||out|| = 0; see
+    # models/superpoint.py descriptor head note).
+    return out * jax.lax.rsqrt(
+        jnp.sum(out * out, axis=-1, keepdims=True) + 1e-8)

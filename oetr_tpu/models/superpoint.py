@@ -23,8 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.nms import (remove_borders, sample_descriptors, simple_nms,
-                       topk_keypoints)
+from ..ops.nms import (refine_keypoints, remove_borders,
+                       sample_descriptors, simple_nms, topk_keypoints)
 
 Array = jnp.ndarray
 
@@ -102,6 +102,9 @@ class SuperPoint(nn.Module):
     max_keypoints: int = 1024
     border: int = 4
     descriptor_dim: int = 256
+    subpixel: bool = True     # 3x3 centroid refinement (ops/nms.py) —
+                              # integer NMS maxima alone cost ~0.5 px of
+                              # localization and wreck pose AUC
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -117,6 +120,8 @@ class SuperPoint(nn.Module):
         nmsed = remove_borders(nmsed, self.border)
         xy, kp_scores, valid = topk_keypoints(
             nmsed, self.max_keypoints, self.keypoint_threshold)
+        if self.subpixel:
+            xy = refine_keypoints(scores, xy)
         descs = sample_descriptors(desc_map, xy, stride=8)
         return {
             "keypoints": xy,

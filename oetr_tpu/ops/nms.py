@@ -69,6 +69,42 @@ def topk_keypoints(scores: Array, k: int, threshold: float = 0.0):
     return xy, vals, valid
 
 
+def refine_keypoints(dense_scores: Array, xy: Array) -> Array:
+    """Sub-pixel refinement: 3x3 score-weighted centroid around each
+    integer keypoint.
+
+    Integer NMS maxima cost ~0.3-0.5 px of localization vs interpolated
+    detectors (SIFT) — enough to dominate pose error at 1 px RANSAC
+    thresholds (measured: learned SP at 0.79 epipolar precision scored
+    near-zero pose AUC@5 on integer keypoints). The centroid over the
+    RAW (pre-NMS) score map's 3x3 neighborhood recovers the sub-pixel
+    mode, clamped to ±0.5 px so refinement can never leave the cell.
+
+    Args:
+      dense_scores: [B, H, W] raw detector scores (pre-NMS).
+      xy: [B, K, 2] integer (x, y) keypoint positions.
+    Returns:
+      [B, K, 2] refined float positions.
+    """
+    b, h, w = dense_scores.shape
+    xi = xy[..., 0].astype(jnp.int32)
+    yi = xy[..., 1].astype(jnp.int32)
+    num = jnp.zeros_like(xy)
+    den = jnp.zeros(xy.shape[:-1], dense_scores.dtype)
+    flat = dense_scores.reshape(b, h * w)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            xs = jnp.clip(xi + dx, 0, w - 1)
+            ys = jnp.clip(yi + dy, 0, h - 1)
+            s = jnp.take_along_axis(flat, ys * w + xs, axis=1)
+            s = jnp.maximum(s, 0.0)
+            num = num + s[..., None] * jnp.stack(
+                [jnp.full_like(s, dx), jnp.full_like(s, dy)], axis=-1)
+            den = den + s
+    offset = num / jnp.maximum(den, 1e-6)[..., None]
+    return xy + jnp.clip(offset, -0.5, 0.5)
+
+
 def bilinear_sample(grid: Array, xy: Array) -> Array:
     """Bilinear interpolation of [H, W, C] features at [N, 2] (x, y) coords.
 

@@ -89,3 +89,22 @@ def test_extract_matches_mutual_and_threshold():
     m0 = np.asarray(m0)
     assert m0[0, 0] == 1 and m0[0, 1] == 0
     assert m0[0, 2] == -1  # below threshold
+
+
+def test_refine_keypoints_recovers_subpixel_peak():
+    """A Gaussian peak at a non-integer position: the 3x3 centroid moves
+    the integer argmax toward the true sub-pixel mode."""
+    import jax.numpy as jnp
+
+    from oetr_tpu.ops.nms import refine_keypoints
+
+    h = w = 32
+    true = (14.3, 9.6)                     # (x, y)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    score = np.exp(-((xx - true[0]) ** 2 + (yy - true[1]) ** 2) / 3.0)
+    xy = jnp.asarray([[[14.0, 10.0]]], jnp.float32)   # integer argmax
+    refined = np.asarray(refine_keypoints(jnp.asarray(score)[None], xy))[0, 0]
+    assert abs(refined[0] - true[0]) < 0.25, refined
+    assert abs(refined[1] - true[1]) < 0.35, refined
+    # Never leaves the cell.
+    assert abs(refined[0] - 14.0) <= 0.5 and abs(refined[1] - 10.0) <= 0.5

@@ -254,3 +254,49 @@ def mask2bbox(mask: Array) -> Array:
     y2 = jnp.max(jnp.where(row > 0, ys, -big), axis=-1)
     box = jnp.stack([x1, y1, x2, y2], axis=-1)
     return jnp.where(any_true[..., None], box, jnp.zeros_like(box))
+
+
+def boxes_from_prob_map(prob: Array, hf: int, wf: int,
+                        image_hw: tuple[float, float],
+                        q: float = 0.05) -> Array:
+    """Overlap box from heatmap mass quantiles (alternative box head).
+
+    The reference derives box sizes from a query-embedding MLP
+    (size_regression, src/model.py:188-191); from-scratch training showed
+    that head can converge to the full-frame hedge while the *heatmap*
+    already concentrates on the overlap. This decodes a box directly from
+    the softmaxed center heatmap: per-axis marginal mass, then the
+    [q, 1-q] cumulative-mass interval in each axis, mapped to pixels.
+    Static-shaped (cumsum + masked argmax) — safe inside jit.
+
+    Args:
+      prob: [B, N] softmax heatmap over the hf*wf token grid (row-major).
+      hf, wf: token grid dims (static).
+      image_hw: (H, W) pixel extent the grid spans.
+      q: tail mass excluded on each side per axis.
+    Returns:
+      [B, 4] xyxy pixel boxes.
+    """
+    h, w = image_hw
+    p = prob.reshape(prob.shape[0], hf, wf)
+    px = jnp.sum(p, axis=1)                     # [B, wf] column mass
+    py = jnp.sum(p, axis=2)                     # [B, hf] row mass
+
+    def interval(m, n, extent):
+        # first cell where cumulative mass reaches q -> left edge of cell;
+        # last cell where remaining mass still exceeds q -> right edge.
+        c = jnp.cumsum(m, axis=-1)
+        total = c[..., -1:]
+        lo = jnp.argmax(c >= q * total, axis=-1)
+        rem = total - c + m                     # mass from cell i onward
+        hi_mask = rem >= q * total
+        idx = jnp.arange(n)
+        hi = jnp.max(jnp.where(hi_mask, idx, 0), axis=-1)
+        stride = extent / n
+        a = lo.astype(jnp.float32) * stride
+        b = (hi.astype(jnp.float32) + 1.0) * stride
+        return a, jnp.maximum(b, a + stride)
+
+    x1, x2 = interval(px, wf, w)
+    y1, y2 = interval(py, hf, h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)

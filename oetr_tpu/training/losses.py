@@ -27,7 +27,8 @@ def _masked_mean(x: Array, valid: Array) -> Array:
 
 def oetr_losses(outputs: dict, gt_bbox1: Array, gt_bbox2: Array,
                 valid: Array, image_hw1: tuple[int, int],
-                image_hw2: tuple[int, int], oiou: bool = False) -> dict:
+                image_hw2: tuple[int, int], oiou: bool = False,
+                weights: Array | None = None) -> dict:
     """Full training loss dict.
 
     Args:
@@ -35,6 +36,7 @@ def oetr_losses(outputs: dict, gt_bbox1: Array, gt_bbox2: Array,
       gt_bbox1, gt_bbox2: [B, 4] GT overlap boxes (xyxy, pixel frame).
       valid: [B] bool — ``overlap_valid`` flag from the data layer.
       image_hw1, image_hw2: static (H, W) of each image stream.
+      weights: optional [B] per-pair loss weights (difficulty_weights).
 
     Returns dict with entries whose keys contain "loss" summed into the
     total by the train step (reference convention: train.py:118-119).
@@ -42,6 +44,7 @@ def oetr_losses(outputs: dict, gt_bbox1: Array, gt_bbox2: Array,
     h1, w1 = image_hw1
     h2, w2 = image_hw2
     pred1, pred2 = outputs["pred_bbox1"], outputs["pred_bbox2"]
+    wts = jnp.ones_like(valid, jnp.float32) if weights is None else weights
 
     pred_c1 = box_xyxy_to_cxywh(pred1, h1, w1)
     pred_c2 = box_xyxy_to_cxywh(pred2, h2, w2)
@@ -55,15 +58,19 @@ def oetr_losses(outputs: dict, gt_bbox1: Array, gt_bbox2: Array,
         return jnp.mean(jnp.abs(a / scale - b / scale), axis=-1)
 
     # Localization loss on centers (ref: src/model.py:300-308).
-    loc_loss = (_masked_mean(l1(pred_c1[:, :2], gt_c1[:, :2], scale1), valid)
-                + _masked_mean(l1(pred_c2[:, :2], gt_c2[:, :2], scale2), valid))
+    loc_loss = (_masked_mean(wts * l1(pred_c1[:, :2], gt_c1[:, :2], scale1),
+                             valid)
+                + _masked_mean(wts * l1(pred_c2[:, :2], gt_c2[:, :2], scale2),
+                               valid))
     # Width/height loss, halved (ref: src/model.py:311-319).
-    wh_loss = (_masked_mean(l1(pred_c1[:, 2:], gt_c1[:, 2:], scale1), valid)
-               + _masked_mean(l1(pred_c2[:, 2:], gt_c2[:, 2:], scale2), valid)
-               ) / 2.0
+    wh_loss = (_masked_mean(wts * l1(pred_c1[:, 2:], gt_c1[:, 2:], scale1),
+                            valid)
+               + _masked_mean(wts * l1(pred_c2[:, 2:], gt_c2[:, 2:], scale2),
+                              valid)) / 2.0
     # Symmetric GIoU/OIoU pair loss (ref: src/model.py:322, losses.py:221-235).
     iou_loss_val = _masked_mean(
-        pair_overlap_loss(pred1, gt_bbox1, pred2, gt_bbox2, oiou=oiou), valid)
+        wts * pair_overlap_loss(pred1, gt_bbox1, pred2, gt_bbox2, oiou=oiou),
+        valid)
 
     # Metrics (not part of the summed loss: keys avoid the "loss" substring).
     iou1 = _masked_mean(bbox_overlaps_aligned(pred1, gt_bbox1), valid)
@@ -223,14 +230,21 @@ def cycle_overlap_loss(pred_bbox1: Array, pred_bbox2: Array, K1: Array,
 def token_matches_from_geometry(K1: Array, depth1: Array, T1: Array,
                                 crop1: Array, ratio1: Array, K2: Array,
                                 T2: Array, crop2: Array, ratio2: Array,
-                                hw2: tuple[int, int], stride: int):
+                                hw2: tuple[int, int], stride: int,
+                                depth2: Array | None = None,
+                                occlusion_thresh: float = 0.5):
     """GT coarse-token correspondence for one pair: token i of image1 ->
     token index in image2 (or -1).
 
     Samples the dense depth warp (geometry.overlap.warp_grid_via_depth)
     at token-center pixels of image1's stride-``stride`` grid, and bins
     the warped coordinate into image2's token grid. A token is matched
-    when its center has depth and lands inside image2.
+    when its center has depth, lands inside image2, and — when
+    ``depth2`` is given — is not occluded there: the warped depth must
+    agree with image2's depth map within ``occlusion_thresh`` (absolute,
+    the same convention the GT overlap box applies,
+    geometry/overlap.py:119). Without the check, multi-plane scenes
+    supervise tokens toward surfaces hidden behind foreground planes.
 
     Returns (gt [N] int32, valid [N] bool) with N = (H1/stride)*(W1/stride).
     """
@@ -238,7 +252,7 @@ def token_matches_from_geometry(K1: Array, depth1: Array, T1: Array,
 
     h1, w1 = depth1.shape
     h2, w2 = hw2
-    uv2, _, has_depth = warp_grid_via_depth(
+    uv2, z2_est, has_depth = warp_grid_via_depth(
         K1, depth1, T1, crop1, ratio1, K2, T2, crop2, ratio2)
     hf1, wf1 = h1 // stride, w1 // stride
     hf2, wf2 = h2 // stride, w2 // stride
@@ -250,6 +264,13 @@ def token_matches_from_geometry(K1: Array, depth1: Array, T1: Array,
     ty = jnp.floor(centers_uv[..., 1] / stride).astype(jnp.int32)
     inside = (tx >= 0) & (tx < wf2) & (ty >= 0) & (ty < hf2)
     ok = centers_ok & inside
+    if depth2 is not None:
+        ix = jnp.clip((centers_uv[..., 0]).astype(jnp.int32), 0, w2 - 1)
+        iy = jnp.clip((centers_uv[..., 1]).astype(jnp.int32), 0, h2 - 1)
+        z2 = depth2[iy, ix]
+        z_est = z2_est[cy[:, None], cx[None, :]]
+        not_occluded = (z2 > 0) & (jnp.abs(z_est - z2) < occlusion_thresh)
+        ok = ok & not_occluded
     idx = jnp.where(ok, ty * wf2 + tx, -1)
     return idx.reshape(-1), ok.reshape(-1)
 
@@ -291,19 +312,19 @@ def aux_match_loss(outputs: dict, batch: dict, stride: int,
     h2w2 = batch["image2"].shape[1:3]
     h1w1 = batch["image1"].shape[1:3]
     gt12, ok12 = _jax.vmap(
-        lambda K1, d1, T1, c1, r1, K2, T2, c2, r2:
+        lambda K1, d1, T1, c1, r1, K2, T2, c2, r2, d2:
         token_matches_from_geometry(K1, d1, T1, c1, r1, K2, T2, c2, r2,
-                                    h2w2, stride))(
+                                    h2w2, stride, depth2=d2))(
         batch["K1"], batch["depth1"], batch["pose1"], batch["crop1"],
         batch["ratio1"], batch["K2"], batch["pose2"], batch["crop2"],
-        batch["ratio2"])
+        batch["ratio2"], batch["depth2"])
     gt21, ok21 = _jax.vmap(
-        lambda K2, d2, T2, c2, r2, K1, T1, c1, r1:
+        lambda K2, d2, T2, c2, r2, K1, T1, c1, r1, d1:
         token_matches_from_geometry(K2, d2, T2, c2, r2, K1, T1, c1, r1,
-                                    h1w1, stride))(
+                                    h1w1, stride, depth2=d1))(
         batch["K2"], batch["depth2"], batch["pose2"], batch["crop2"],
         batch["ratio2"], batch["K1"], batch["pose1"], batch["crop1"],
-        batch["ratio1"])
+        batch["ratio1"], batch["depth1"])
     v = batch["overlap_valid"][:, None]
     l12 = token_infonce_loss(outputs["mem1"], outputs["mem2"], gt12,
                              ok12 & v, temp)
@@ -313,7 +334,8 @@ def aux_match_loss(outputs: dict, batch: dict, stride: int,
 
 
 def heatmap_ce_loss(prob_map: Array, gt_box: Array, valid: Array,
-                    image_hw: tuple[int, int]) -> Array:
+                    image_hw: tuple[int, int],
+                    weights: Array | None = None) -> Array:
     """Cross-entropy of the center heatmap vs uniform-in-GT-box tokens.
 
     The soft-argmax center L1 alone admits a degenerate optimum (uniform
@@ -341,6 +363,82 @@ def heatmap_ce_loss(prob_map: Array, gt_box: Array, valid: Array,
               & (cxy[None, :, 1] >= gt_box[:, None, 1])
               & (cxy[None, :, 1] <= gt_box[:, None, 3]))       # [B, N]
     tgt = inside.astype(jnp.float32)
-    tgt = tgt / jnp.maximum(jnp.sum(tgt, axis=1, keepdims=True), 1.0)
+    n_inside = jnp.sum(tgt, axis=1, keepdims=True)
+    # Tiny GT boxes can contain no token center; fall back to a one-hot
+    # target on the token nearest the box center so the hardest
+    # small-overlap samples still receive dense supervision (instead of
+    # silently degenerating to zero loss).
+    box_c = (gt_box[:, None, :2] + gt_box[:, None, 2:]) / 2.0   # [B, 1, 2]
+    d2 = jnp.sum((cxy[None] - box_c) ** 2, axis=-1)             # [B, N]
+    onehot = jax.nn.one_hot(jnp.argmin(d2, axis=1), n, dtype=jnp.float32)
+    tgt = jnp.where(n_inside > 0, tgt / jnp.maximum(n_inside, 1.0), onehot)
     ce = -jnp.sum(tgt * jnp.log(jnp.maximum(prob_map, 1e-9)), axis=1)
+    if weights is not None:
+        ce = ce * weights
     return _masked_mean(ce, valid)
+
+
+def size_loss(outputs: dict, gt_bbox1: Array, gt_bbox2: Array, valid: Array,
+              image_hw1: tuple[int, int], image_hw2: tuple[int, int],
+              weights: Array | None = None) -> Array:
+    """Direct FCOS-style supervision of the tlbr size head.
+
+    Round-3 diagnosis: with only box-level losses (center L1 + wh L1 +
+    GIoU) the sigmoid tlbr head converges to the full-frame hedge on
+    hard scale pairs even when the heatmap localizes (BASELINE.md §3) —
+    the box losses give it no per-head gradient target. This supervises
+    the head the way the reference's (unwired) FCOS variant supervises
+    dense ltrb regression (/root/reference/src/losses/reg_loss.py:198-
+    254): the target is the normalized distance from the *predicted*
+    center (stop-grad — the center is the anchor the head must
+    complete, exactly the quantity used at decode time,
+    src/model.py:188-227) to each GT box edge, clipped to [0, 1].
+
+    outputs: OETR forward dict (center1/2 [B,2] px, tlbr1/2 [B,4] in
+    (t,l,b,r) normalized order). weights: optional [B] per-pair loss
+    weights (difficulty reweighting).
+    """
+    def one_side(center, tlbr, gt, hw):
+        h, w = hw
+        c = jax.lax.stop_gradient(center)
+        t = (c[:, 1] - gt[:, 1]) / h
+        l_ = (c[:, 0] - gt[:, 0]) / w
+        b = (gt[:, 3] - c[:, 1]) / h
+        r = (gt[:, 2] - c[:, 0]) / w
+        tgt = jnp.clip(jnp.stack([t, l_, b, r], axis=-1), 0.0, 1.0)
+        return jnp.mean(jnp.abs(tlbr - tgt), axis=-1)
+
+    per = (one_side(outputs["center1"], outputs["tlbr1"], gt_bbox1, image_hw1)
+           + one_side(outputs["center2"], outputs["tlbr2"], gt_bbox2,
+                      image_hw2)) / 2.0
+    if weights is not None:
+        per = per * weights
+    return _masked_mean(per, valid)
+
+
+def difficulty_weights(gt_bbox1: Array, gt_bbox2: Array,
+                       image_hw1: tuple[int, int],
+                       image_hw2: tuple[int, int],
+                       power: float = 1.0) -> Array:
+    """Per-pair loss weights emphasizing hard scale-difference pairs.
+
+    The scale difference of a pair is estimated from the GT overlap
+    boxes themselves (the ratio of covisible-area fractions — the same
+    quantity the reference's pair miner thresholds, /root/reference/src/
+    utils/megadepth_preprocess.py:71-95): s = sqrt(max(a1, a2) /
+    min(a1, a2)), weight = s**power, normalized to mean 1 over the
+    batch. Easy same-scale pairs keep weight ~1; a 3x dolly pair gets
+    ~3x the gradient — countering the observed optimum where the model
+    solves easy pairs and hedges the hard ones.
+    """
+    def area_frac(box, hw):
+        h, w = hw
+        a = jnp.clip(box[:, 2] - box[:, 0], 0.0, None) * jnp.clip(
+            box[:, 3] - box[:, 1], 0.0, None)
+        return jnp.clip(a / (h * w), 1e-4, 1.0)
+
+    a1 = area_frac(gt_bbox1, image_hw1)
+    a2 = area_frac(gt_bbox2, image_hw2)
+    s = jnp.sqrt(jnp.maximum(a1, a2) / jnp.minimum(a1, a2))
+    w = s ** power
+    return w / jnp.maximum(jnp.mean(w), 1e-6)

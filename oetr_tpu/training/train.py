@@ -64,7 +64,8 @@ def create_train_state(model_cfg: OETRConfig, train_cfg: TrainConfig,
 def loss_fn(model: OETR, params, batch: dict, dropout_rng, cycle: bool,
             oiou: bool, full_cycle: bool = False,
             aux_match_weight: float = 0.0, aux_match_stride: int = 32,
-            heatmap_weight: float = 0.0):
+            heatmap_weight: float = 0.0, size_weight: float = 0.0,
+            reweight_power: float = 0.0):
     """Forward + loss on one (sharded) batch.
 
     batch keys: image1/image2 [B,H,W,3], overlap_box1/2 [B,4],
@@ -72,6 +73,10 @@ def loss_fn(model: OETR, params, batch: dict, dropout_rng, cycle: bool,
     ``full_cycle`` adds the depth-warped CycleOverlapLoss (needs K1/K2,
     depth1/depth2, pose1/pose2, crop1/crop2, ratio1/ratio2 in the batch —
     ref: src/losses/losses.py:246-520, enabled by LOSS.CYCLE_OVERLAP).
+    ``size_weight`` adds the direct FCOS-style tlbr supervision and
+    ``reweight_power`` > 0 scales per-pair losses by scale difficulty
+    (losses.size_loss / difficulty_weights — the round-4 anti-hedging
+    levers).
     """
     h1, w1 = batch["image1"].shape[1:3]
     h2, w2 = batch["image2"].shape[1:3]
@@ -79,9 +84,20 @@ def loss_fn(model: OETR, params, batch: dict, dropout_rng, cycle: bool,
                       batch.get("mask1"), batch.get("mask2"),
                       deterministic=False, with_cycle=cycle,
                       rngs={"dropout": dropout_rng})
+    wts = None
+    if reweight_power > 0.0:
+        from .losses import difficulty_weights
+        wts = difficulty_weights(batch["overlap_box1"],
+                                 batch["overlap_box2"], (h1, w1), (h2, w2),
+                                 power=reweight_power)
     losses = oetr_losses(out, batch["overlap_box1"], batch["overlap_box2"],
                          batch["overlap_valid"], (h1, w1), (h2, w2),
-                         oiou=oiou)
+                         oiou=oiou, weights=wts)
+    if size_weight > 0.0:
+        from .losses import size_loss
+        losses["size_loss"] = size_weight * size_loss(
+            out, batch["overlap_box1"], batch["overlap_box2"],
+            batch["overlap_valid"], (h1, w1), (h2, w2), weights=wts)
     if full_cycle:
         from .losses import cycle_overlap_loss
         losses["cycle_overlap_loss"] = cycle_overlap_loss(
@@ -105,9 +121,10 @@ def loss_fn(model: OETR, params, batch: dict, dropout_rng, cycle: bool,
         from .losses import heatmap_ce_loss
         losses["heatmap_loss"] = heatmap_weight * (
             heatmap_ce_loss(out["prob_map1"], batch["overlap_box1"],
-                            batch["overlap_valid"], (h1, w1))
+                            batch["overlap_valid"], (h1, w1), weights=wts)
             + heatmap_ce_loss(out["prob_map2"], batch["overlap_box2"],
-                              batch["overlap_valid"], (h2, w2))) / 2.0
+                              batch["overlap_valid"], (h2, w2),
+                              weights=wts)) / 2.0
     return total_loss(losses), losses
 
 
@@ -117,7 +134,9 @@ def make_train_step(model: OETR, tx, mesh: Mesh | None = None,
                     full_cycle: bool = False,
                     aux_match_weight: float = 0.0,
                     aux_match_stride: int = 32,
-                    heatmap_weight: float = 0.0):
+                    heatmap_weight: float = 0.0,
+                    size_weight: float = 0.0,
+                    reweight_power: float = 0.0):
     """Build the jitted train step.
 
     With a mesh, inputs get NamedSharding constraints: batch split on the
@@ -135,7 +154,8 @@ def make_train_step(model: OETR, tx, mesh: Mesh | None = None,
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: loss_fn(model, p, batch, dropout_rng, cycle, oiou,
                               full_cycle, aux_match_weight,
-                              aux_match_stride, heatmap_weight),
+                              aux_match_stride, heatmap_weight,
+                              size_weight, reweight_power),
             has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

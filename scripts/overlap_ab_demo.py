@@ -93,6 +93,21 @@ def main():
     ap.add_argument("--heatmap", type=float, default=0.0,
                     help="weight of dense heatmap supervision (CE vs "
                          "uniform-in-GT-box tokens)")
+    ap.add_argument("--size_loss", type=float, default=0.0,
+                    help="weight of direct FCOS-style tlbr size-head "
+                         "supervision (anti-hedging, losses.size_loss)")
+    ap.add_argument("--reweight", type=float, default=0.0,
+                    help="difficulty reweighting power: per-pair loss "
+                         "weights ~ scale_diff**p (losses."
+                         "difficulty_weights)")
+    ap.add_argument("--device_data", action="store_true",
+                    help="generate training batches ON-DEVICE (data."
+                         "device_synth) — an infinite fresh-pair stream "
+                         "instead of a finite memorizable disk dataset; "
+                         "val pairs still come from --data_dir/disk")
+    ap.add_argument("--illum_jitter", type=float, default=0.0,
+                    help="with --device_data: +-fraction illumination "
+                         "gain jitter on image2")
     ap.add_argument("--skip_eval", action="store_true",
                     help="train/checkpoint only (for intermediate "
                          "segments of a restart loop); prints a short "
@@ -120,20 +135,24 @@ def main():
     tmp = args.data_dir or tempfile.mkdtemp(prefix="oetr_ab_")
     train_txt = os.path.join(tmp, "train", "pairs.txt")
     val_txt = os.path.join(tmp, "val", "pairs.txt")
-    if not (args.data_dir and os.path.exists(train_txt)
-            and os.path.exists(val_txt)):
-        train_txt = generate_scene(os.path.join(tmp, "train"),
-                                   n_pairs=args.train_pairs, image_hw=hw,
-                                   seed=0,
-                                   scale_range=(args.train_scale_min, 3.2),
-                                   p_translate=args.train_translate_frac)
+    if not (args.data_dir and os.path.exists(val_txt)
+            and (args.device_data or os.path.exists(train_txt))):
+        if not args.device_data:
+            train_txt = generate_scene(
+                os.path.join(tmp, "train"), n_pairs=args.train_pairs,
+                image_hw=hw, seed=0,
+                scale_range=(args.train_scale_min, 3.2),
+                p_translate=args.train_translate_frac)
         val_txt = generate_scene(os.path.join(tmp, "val"),
                                  n_pairs=args.val_pairs, image_hw=hw,
                                  seed=999, scale_range=(1.8, 3.2))
     else:
         print(f"# reusing dataset at {tmp}", file=sys.stderr, flush=True)
-    train_ds = MegaDepthPairsDataset(os.path.join(tmp, "train"), train_txt,
-                                     image_size=(hw, hw), train=True)
+    train_ds = None
+    if not args.device_data:
+        train_ds = MegaDepthPairsDataset(os.path.join(tmp, "train"),
+                                         train_txt, image_size=(hw, hw),
+                                         train=True)
     val_ds = MegaDepthPairsDataset(os.path.join(tmp, "val"), val_txt,
                                    image_size=(hw, hw), train=False)
 
@@ -153,7 +172,9 @@ def main():
                                           jax.random.key(0), (hw, hw))
     step_fn = make_train_step(model, tx, cycle=True,
                               aux_match_weight=args.aux_match,
-                              heatmap_weight=args.heatmap)
+                              heatmap_weight=args.heatmap,
+                              size_weight=args.size_loss,
+                              reweight_power=args.reweight)
     ckpt_dir = os.path.abspath(args.ckpt_dir) if args.ckpt_dir else None
     start_step = 0
     if ckpt_dir:
@@ -168,30 +189,49 @@ def main():
     if start_step:
         rng = jax.random.fold_in(rng, start_step)
     it, last_loss = start_step, float("nan")
-    while it < args.steps:
-        train_ds.build_dataset()
-        for batch in train_ds.batches(args.batch,
-                                      geometry=args.aux_match > 0):
-            if it >= args.steps:
-                break
-            rng, drop = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, drop)
-            last_loss = float(metrics["loss"])
-            if it % 50 == 0:
-                miou = float((metrics["iou1"] + metrics["iou2"]) / 2)
-                aux = (f" aux {float(metrics['aux_match_loss']):.3f}"
-                       if "aux_match_loss" in metrics else "")
-                print(f"# step {it} loss {last_loss:.4f} "
-                      f"train_miou {miou:.3f}{aux} "
-                      f"({time.time() - t0:.0f}s)", file=sys.stderr,
-                      flush=True)
-            it += 1
-            if (ckpt_dir and args.save_every
-                    and it % args.save_every == 0 and it < args.steps):
-                from oetr_tpu.training.train import save_checkpoint
-                save_checkpoint(ckpt_dir, state, it)
-                print(f"# checkpoint step {it}", file=sys.stderr,
-                      flush=True)
+
+    def batch_stream():
+        """Yield training batches forever (disk epochs or device synth)."""
+        if args.device_data:
+            # Infinite fresh pairs, generated on the accelerator — the
+            # round-4 fix for dataset memorization (device_synth docstring).
+            from oetr_tpu.data.device_synth import make_device_generator
+            gen = make_device_generator(
+                hw, args.batch,
+                scale_range=(max(args.train_scale_min, 1.0), 3.2),
+                p_translate=args.train_translate_frac,
+                illum_jitter=args.illum_jitter)
+            data_rng = jax.random.fold_in(jax.random.key(7), start_step)
+            while True:
+                data_rng, k = jax.random.split(data_rng)
+                yield gen(k)
+        else:
+            while True:
+                train_ds.build_dataset()
+                yield from train_ds.batches(args.batch,
+                                            geometry=args.aux_match > 0)
+
+    for batch in batch_stream():
+        if it >= args.steps:
+            break
+        rng, drop = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, drop)
+        last_loss = float(metrics["loss"])
+        if it % 50 == 0:
+            miou = float((metrics["iou1"] + metrics["iou2"]) / 2)
+            aux = (f" aux {float(metrics['aux_match_loss']):.3f}"
+                   if "aux_match_loss" in metrics else "")
+            print(f"# step {it} loss {last_loss:.4f} "
+                  f"train_miou {miou:.3f}{aux} "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr,
+                  flush=True)
+        it += 1
+        if (ckpt_dir and args.save_every
+                and it % args.save_every == 0 and it < args.steps):
+            from oetr_tpu.training.train import save_checkpoint
+            save_checkpoint(ckpt_dir, state, it)
+            print(f"# checkpoint step {it}", file=sys.stderr,
+                  flush=True)
 
     if ckpt_dir and it > start_step:
         # it == start_step means training was skipped (resumed at the

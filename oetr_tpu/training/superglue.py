@@ -54,6 +54,59 @@ def superglue_nll_loss(log_assignment: Array, gt_matches0: Array,
     return jnp.mean(per_b)
 
 
+def gt_matches_batch(xy0: Array, v0: Array, xy1: Array, v1: Array,
+                     depth0: Array, K0: Array, T_0to1: Array, K1: Array,
+                     depth1: Array | None = None,
+                     radius: float = 3.0,
+                     occlusion_thresh: float = 0.5) -> Array:
+    """Batched GT partial assignment from known geometry (all-jnp).
+
+    Replaces the per-pair numpy GT path (scripts/train_matching_demo.py:
+    gt_matches_from_geometry) so assignment targets can be produced
+    inside the same jit program that generates the pairs and extracts
+    features — the on-the-fly SuperGlue data pipeline. Rule: warp image-0
+    keypoints through depth+pose, mutual-nearest under Euclidean
+    distance, accept within ``radius`` px; optional occlusion check
+    against image1's depth (same convention as the GT overlap box,
+    geometry/overlap.py:119).
+
+    Args:
+      xy0, xy1: [B, K, 2] keypoints; v0, v1 [B, K] validity.
+      depth0: [B, H, W]; K0, K1: [B, 3, 3]; T_0to1: [B, 4, 4].
+    Returns:
+      gt_matches0 [B, K] int32 (-1 = unmatched).
+    """
+    from .losses import interpolate_depth
+
+    def one(xy0_, v0_, xy1_, v1_, d0, K0_, T_, K1_, d1):
+        z, ok = interpolate_depth(d0, xy0_)
+        x = (xy0_[:, 0] - K0_[0, 2]) * z / K0_[0, 0]
+        y = (xy0_[:, 1] - K0_[1, 2]) * z / K0_[1, 1]
+        P = jnp.stack([x, y, z], axis=-1)
+        Pc2 = P @ T_[:3, :3].T + T_[:3, 3]
+        uv = Pc2 @ K1_.T
+        xy2 = uv[:, :2] / jnp.where(jnp.abs(uv[:, 2:]) > 1e-9,
+                                    uv[:, 2:], 1e-9)
+        ok = ok & (Pc2[:, 2] > 1e-6) & v0_
+        if d1 is not None:
+            z2, ok2 = interpolate_depth(d1, xy2)
+            ok = ok & ok2 & (jnp.abs(Pc2[:, 2] - z2) < occlusion_thresh)
+        d = jnp.linalg.norm(xy2[:, None] - xy1_[None], axis=-1)   # [K, K]
+        big = jnp.float32(1e9)
+        d = jnp.where(ok[:, None] & v1_[None, :], d, big)
+        nn1 = jnp.argmin(d, axis=1)
+        best = jnp.min(d, axis=1)
+        nn0 = jnp.argmin(d, axis=0)
+        mutual = nn0[nn1] == jnp.arange(xy0_.shape[0])
+        return jnp.where((best < radius) & mutual, nn1, -1).astype(jnp.int32)
+
+    if depth1 is None:
+        return jax.vmap(lambda a, b, c, d, e, f, g, h: one(
+            a, b, c, d, e, f, g, h, None))(
+            xy0, v0, xy1, v1, depth0, K0, T_0to1, K1)
+    return jax.vmap(one)(xy0, v0, xy1, v1, depth0, K0, T_0to1, K1, depth1)
+
+
 def make_superglue_train_step(model, tx):
     """jit'd (params, opt_state, batch) -> (params, opt_state, metrics).
 

@@ -98,6 +98,16 @@ def main():
     ap.add_argument("--tex_pool", type=int, default=160)
     ap.add_argument("--ckpt_dir", type=str, default="")
     ap.add_argument("--desc_dim", type=int, default=128)
+    ap.add_argument("--device_data", action="store_true",
+                    help="stream BOTH training phases from on-device "
+                         "generators (data/device_synth): fresh texture "
+                         "homography pairs for the SP descriptor hinge "
+                         "and fresh scene pairs + jnp GT assignments for "
+                         "SG — removes the host data bottleneck and the "
+                         "fixed memorizable pools (round-4 diagnosis: "
+                         "the 1200-step SG didn't even fit its 192 "
+                         "pre-extracted pairs)")
+    ap.add_argument("--sg_lr", type=float, default=1e-4)
     args = ap.parse_args()
 
     import cv2
@@ -150,27 +160,39 @@ def main():
                                   jnp.zeros((1, sp_hw, sp_hw, 1)))
     sp_params, restored = maybe_restore("superpoint", sp_params)
     if not restored and args.sp_steps > 0:
-        log(f"texture pool ({args.tex_pool})...")
-        pool = [cv2.cvtColor(_texture(rng, sp_hw, sp_hw),
-                             cv2.COLOR_RGB2GRAY).astype(np.float32) / 255.0
-                for _ in range(args.tex_pool)]
+        if args.device_data:
+            from oetr_tpu.data.device_synth import \
+                make_homography_pair_generator
+            hp_gen = make_homography_pair_generator(
+                sp_hw, args.sp_batch, scale_range=(0.55, 1.8))
+            hp_rng = jax.random.key(11)
 
-        def pair_batch(b):
-            im0 = np.zeros((b, sp_hw, sp_hw, 1), np.float32)
-            im1 = np.zeros((b, sp_hw, sp_hw, 1), np.float32)
-            Hs = np.zeros((b, 3, 3), np.float64)
-            for i in range(b):
-                g = pool[int(rng.integers(len(pool)))]
-                # Scale range spans the eval regime (scene pairs dolly
-                # up to 2x) so descriptors see the full scale gap.
-                H = random_homography(rng, (sp_hw, sp_hw),
-                                      scale_range=(0.55, 1.8))
-                im0[i, :, :, 0] = g
-                im1[i, :, :, 0] = cv2.warpPerspective(
-                    g, H, (sp_hw, sp_hw), flags=cv2.INTER_LINEAR,
-                    borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
-                Hs[i] = H
-            return im0, im1, Hs
+            def pair_batch(b):
+                nonlocal hp_rng
+                hp_rng, k_ = jax.random.split(hp_rng)
+                return hp_gen(k_)
+        else:
+            log(f"texture pool ({args.tex_pool})...")
+            pool = [cv2.cvtColor(_texture(rng, sp_hw, sp_hw),
+                                 cv2.COLOR_RGB2GRAY).astype(np.float32)
+                    / 255.0 for _ in range(args.tex_pool)]
+
+            def pair_batch(b):
+                im0 = np.zeros((b, sp_hw, sp_hw, 1), np.float32)
+                im1 = np.zeros((b, sp_hw, sp_hw, 1), np.float32)
+                Hs = np.zeros((b, 3, 3), np.float64)
+                for i in range(b):
+                    g = pool[int(rng.integers(len(pool)))]
+                    # Scale range spans the eval regime (scene pairs
+                    # dolly up to 2x) so descriptors see the full gap.
+                    H = random_homography(rng, (sp_hw, sp_hw),
+                                          scale_range=(0.55, 1.8))
+                    im0[i, :, :, 0] = g
+                    im1[i, :, :, 0] = cv2.warpPerspective(
+                        g, H, (sp_hw, sp_hw), flags=cv2.INTER_LINEAR,
+                        borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+                    Hs[i] = H
+                return im0, im1, Hs
 
         # Clip: the joint loss NaN'd within 100 TPU steps at plain
         # adam(1e-3) (loss-spike -> inf grads; CPU runs survived only by
@@ -252,7 +274,55 @@ def main():
             jax.random.key(1), _d)
     sg_params, sg_restored = maybe_restore("superglue", sg_params)
 
-    if not sg_restored and args.sg_steps > 0:
+    if not sg_restored and args.sg_steps > 0 and args.device_data:
+        # Streaming pipeline, fully on device: fresh scene pairs ->
+        # grayscale -> frozen-SP extraction -> jnp GT assignment -> OT
+        # step. No fixed dataset exists to memorize, and the host never
+        # touches pixels (round-4 SG fix).
+        from oetr_tpu.data.device_synth import make_device_generator
+        from oetr_tpu.training.superglue import gt_matches_batch
+        scene_gen = make_device_generator(
+            hw, args.sg_batch, scale_range=(1.0, 2.0), p_translate=0.5)
+        lum = jnp.asarray([0.299, 0.587, 0.114])
+
+        @jax.jit
+        def sg_prep(raw):
+            g0 = (raw["image1"] @ lum)[..., None]
+            g1 = (raw["image2"] @ lum)[..., None]
+            e0 = sp.apply(sp_full, g0)
+            e1 = sp.apply(sp_full, g1)
+            T = jax.vmap(lambda p2, p1: p2 @ jnp.linalg.inv(p1))(
+                raw["pose2"], raw["pose1"])
+            gt = gt_matches_batch(e0["keypoints"], e0["valid"],
+                                  e1["keypoints"], e1["valid"],
+                                  raw["depth1"], raw["K1"], T, raw["K2"],
+                                  depth1=raw["depth2"])
+            return {"keypoints0": e0["keypoints"],
+                    "keypoints1": e1["keypoints"],
+                    "scores0": e0["scores"], "scores1": e1["scores"],
+                    "descriptors0": e0["descriptors"],
+                    "descriptors1": e1["descriptors"],
+                    "valid0": e0["valid"], "valid1": e1["valid"],
+                    "gt_matches0": gt}
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.piecewise_constant_schedule(
+                args.sg_lr, {int(args.sg_steps * 0.7): 0.1})))
+        opt = tx.init(sg_params)
+        sg_step = make_superglue_train_step(sg, tx)
+        sg_rng = jax.random.key(23)
+        for it in range(args.sg_steps):
+            sg_rng, k_ = jax.random.split(sg_rng)
+            batch = dict(sg_prep(scene_gen(k_)),
+                         image_hw0=(hw, hw), image_hw1=(hw, hw))
+            sg_params, opt, m = sg_step(sg_params, opt, batch)
+            if it % 200 == 0:
+                log(f"SG step {it} nll {float(m['loss']):.4f} acc "
+                    f"{float(m['match_acc']):.3f} "
+                    f"({time.time() - t0:.0f}s)")
+        maybe_save("superglue", sg_params)
+    elif not sg_restored and args.sg_steps > 0:
         # Pre-extract features + GT for every training pair (static data).
         feats = []
         for start in range(0, len(train_ds), 16):
@@ -417,11 +487,46 @@ def main():
 
     rows = {"sift_nn": score(sift_nn), "sp_nn": score(sp_nn),
             "sp_sg": score(sp_sg)}
+
+    # Held-out GT-assignment quality + the SP+SG >= SP+NN quality gate
+    # (round-3 shipped an SG that *subtracted* value from its extractor;
+    # this makes that regression visible in the artifact itself).
+    def assign_pr(m0_of_pair):
+        ps, rs = [], []
+        for pi, it_ in enumerate(items):
+            e0, e1 = val_feats[pi]
+            T = it_["pose2"] @ np.linalg.inv(it_["pose1"])
+            gt = gt_matches_from_geometry(
+                e0["keypoints"], e0["valid"], e1["keypoints"], e1["valid"],
+                it_["depth1"], it_["intrinsics1"], T, it_["intrinsics2"])
+            m0 = m0_of_pair(pi)
+            sel = (m0 > -1) & e0["valid"]
+            has = (gt >= 0) & e0["valid"]
+            ps.append(((m0 == gt) & sel).sum() / max(sel.sum(), 1))
+            rs.append(((m0 == gt) & has).sum() / max(has.sum(), 1))
+        return {"assign_precision": round(float(np.mean(ps)), 4),
+                "assign_recall": round(float(np.mean(rs)), 4)}
+
+    def nn_m0_of(pi):
+        e0, e1 = val_feats[pi]
+        m = nearest_neighbor_match(
+            jnp.asarray(e0["descriptors"])[None],
+            jnp.asarray(e1["descriptors"])[None],
+            jnp.asarray(e0["valid"])[None], jnp.asarray(e1["valid"])[None],
+            ratio_threshold=0.95)
+        return np.asarray(m["matches0"][0])
+
+    rows["sp_nn"].update(assign_pr(nn_m0_of))
+    rows["sp_sg"].update(assign_pr(lambda pi: sg_m0[pi]))
+    gate = (rows["sp_sg"]["precision"] >= rows["sp_nn"]["precision"]
+            and rows["sp_sg"]["auc@5"] >= rows["sp_nn"]["auc@5"])
+
     print(json.dumps({
         "metric": "learned_matching_pose_auc",
         "sp_steps": args.sp_steps, "sg_steps": args.sg_steps,
         "hw": hw, "topk": k, "val_pairs": args.val_pairs,
         **rows,
+        "sg_beats_nn_gate": bool(gate),
         "wall_s": round(time.time() - t0, 1),
     }))
 

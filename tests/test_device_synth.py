@@ -171,3 +171,41 @@ def test_token_matches_occlusion_check():
     ok2 = np.asarray(ok2).reshape(4, 4)
     assert not ok2[:, :2].any()        # occluded half invalid
     assert ok2[:, 2:].all()            # visible half still matched
+
+
+@pytest.mark.quick
+def test_homography_generator_warp_parity():
+    """On-device homography render must match cv2.warpPerspective."""
+    import cv2
+    import jax
+
+    from oetr_tpu.data.device_synth import make_homography_pair_generator
+
+    gen = make_homography_pair_generator(64, 2)
+    im0, im1, H = gen(jax.random.key(0))
+    g = np.asarray(im0[0, :, :, 0])
+    ref = cv2.warpPerspective(g, np.asarray(H[0]), (64, 64),
+                              flags=cv2.INTER_LINEAR,
+                              borderMode=cv2.BORDER_CONSTANT,
+                              borderValue=0.0)
+    assert np.abs(ref - np.asarray(im1[0, :, :, 0])).mean() < 0.02
+
+
+@pytest.mark.quick
+def test_gt_matches_batch_identity_and_occlusion():
+    import jax.numpy as jnp
+
+    from oetr_tpu.training.superglue import gt_matches_batch
+
+    K = jnp.asarray([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])[None]
+    xy = jnp.asarray(np.random.RandomState(0).uniform(
+        5, 59, (1, 16, 2)).astype(np.float32))
+    v = jnp.ones((1, 16), bool)
+    depth = jnp.full((1, 64, 64), 5.0)
+    T = jnp.eye(4)[None]
+    gt = gt_matches_batch(xy, v, xy, v, depth, K, T, K)
+    assert (np.asarray(gt[0]) == np.arange(16)).all()
+    # occluding depth2 (all-near slab) kills every match
+    d2 = jnp.full((1, 64, 64), 1.0)
+    gt2 = gt_matches_batch(xy, v, xy, v, depth, K, T, K, depth1=d2)
+    assert (np.asarray(gt2[0]) == -1).all()

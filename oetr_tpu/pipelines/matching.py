@@ -42,6 +42,9 @@ class PipelineConfig:
     min_box_size: float = 1.0                   # degenerate-box gate (evaluation.py:100)
     scale_gate: float = 0.0                     # >0: require overlap score > gate
     fallback_min_matches: int = 30              # overlap_features.py:219
+    box_source: str = "tlbr"                    # "tlbr" | "heatmap" (models.oetr.decode_boxes)
+    box_q: float = 0.1                          # heatmap decode quantile
+    box_pad: float = 0.2                        # heatmap decode padding
 
 
 def overlap_scale_score(bbox0: Array, bbox1: Array) -> Array:
@@ -103,12 +106,23 @@ class SparsePipeline:
         self._jit_plain = jax.jit(partial(self._run, use_overlap=False))
 
     def predict_boxes(self, oetr_img0, oetr_img1, scales0, scales1):
-        """640^2 OETR pass -> full-res-frame boxes (evaluation.py:77-86)."""
+        """640^2 OETR pass -> full-res-frame boxes (evaluation.py:77-86).
+
+        Box decode strategy is cfg.box_source (models.oetr.decode_boxes):
+        the reference's tlbr head, or the round-4 heatmap-quantile
+        decode that wins the from-scratch A/B.
+        """
+        from ..models.oetr import decode_boxes
+
         out = self.oetr.apply(self.oetr_params, oetr_img0, oetr_img1,
                               deterministic=True)
+        b0, b1 = decode_boxes(out, oetr_img0.shape[1:3],
+                              oetr_img1.shape[1:3],
+                              source=self.cfg.box_source, q=self.cfg.box_q,
+                              pad=self.cfg.box_pad)
         s0 = jnp.concatenate([scales0, scales0], axis=-1)   # [B, 4]
         s1 = jnp.concatenate([scales1, scales1], axis=-1)
-        return out["pred_bbox1"] * s0, out["pred_bbox2"] * s1
+        return b0 * s0, b1 * s1
 
     def _extract_and_match(self, crop0, crop1, hw):
         e0 = self.extractor.apply(self.extractor_params, grayscale(crop0))

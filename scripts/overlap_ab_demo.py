@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--train_pairs", type=int, default=256)
     ap.add_argument("--val_pairs", type=int, default=40)
+    ap.add_argument("--val_seed", type=int, default=999,
+                    help="val-set RNG seed (a different seed gives a "
+                         "FRESH held-out set — guards decode "
+                         "hyperparameters against val overfitting)")
     ap.add_argument("--hw", type=int, default=256)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--d_model", type=int, default=64)
@@ -108,6 +112,14 @@ def main():
     ap.add_argument("--illum_jitter", type=float, default=0.0,
                     help="with --device_data: +-fraction illumination "
                          "gain jitter on image2")
+    ap.add_argument("--box_source", type=str, default="tlbr",
+                    choices=("tlbr", "heatmap"),
+                    help="eval-time box decode (models.oetr.decode_boxes)"
+                         ": the reference's center+size head, or "
+                         "heatmap mass quantiles + padding (round-4: "
+                         "wins the A/B where the size head hedges)")
+    ap.add_argument("--box_q", type=float, default=0.1)
+    ap.add_argument("--box_pad", type=float, default=0.2)
     ap.add_argument("--skip_eval", action="store_true",
                     help="train/checkpoint only (for intermediate "
                          "segments of a restart loop); prints a short "
@@ -145,7 +157,7 @@ def main():
                 p_translate=args.train_translate_frac)
         val_txt = generate_scene(os.path.join(tmp, "val"),
                                  n_pairs=args.val_pairs, image_hw=hw,
-                                 seed=999, scale_range=(1.8, 3.2))
+                                 seed=args.val_seed, scale_range=(1.8, 3.2))
     else:
         print(f"# reusing dataset at {tmp}", file=sys.stderr, flush=True)
     train_ds = None
@@ -256,8 +268,11 @@ def main():
     img2 = jnp.asarray(np.stack([it_["image2"] for it_ in items]))
     out = jax.jit(lambda p, a, b: model.apply(p, a, b, deterministic=True))(
         state.params, img1, img2)
-    pred1 = np.asarray(out["pred_bbox1"], np.float64)
-    pred2 = np.asarray(out["pred_bbox2"], np.float64)
+    from oetr_tpu.models.oetr import decode_boxes
+    d1, d2 = decode_boxes(out, (hw, hw), (hw, hw), source=args.box_source,
+                          q=args.box_q, pad=args.box_pad)
+    pred1 = np.asarray(d1, np.float64)
+    pred2 = np.asarray(d2, np.float64)
     gt1 = np.stack([it_["overlap_box1"] for it_ in items]).astype(np.float64)
     gt2 = np.stack([it_["overlap_box2"] for it_ in items]).astype(np.float64)
     iou1 = np.asarray(bbox_overlaps_aligned(jnp.asarray(pred1), jnp.asarray(gt1)))

@@ -209,3 +209,29 @@ def test_gt_matches_batch_identity_and_occlusion():
     d2 = jnp.full((1, 64, 64), 1.0)
     gt2 = gt_matches_batch(xy, v, xy, v, depth, K, T, K, depth1=d2)
     assert (np.asarray(gt2[0]) == -1).all()
+
+
+@pytest.mark.quick
+def test_decode_boxes_heatmap_source():
+    """heatmap decode: concentrated prob mass -> padded sub-frame box;
+    tlbr source returns pred_bbox verbatim."""
+    import jax.numpy as jnp
+
+    from oetr_tpu.models.oetr import decode_boxes
+
+    n = 64                      # 8x8 grid at 256^2
+    p = np.zeros((1, 8, 8), np.float32)
+    p[0, 2:5, 2:5] = 1.0        # mass in rows/cols 2..4
+    p = (p / p.sum()).reshape(1, n)
+    out = {"prob_map1": jnp.asarray(p), "prob_map2": jnp.asarray(p),
+           "pred_bbox1": jnp.asarray([[1.0, 2, 3, 4]]),
+           "pred_bbox2": jnp.asarray([[5.0, 6, 7, 8]])}
+    b1, b2 = decode_boxes(out, (256, 256), (256, 256), source="tlbr")
+    assert np.allclose(np.asarray(b1), [[1, 2, 3, 4]])
+    h1, h2 = decode_boxes(out, (256, 256), (256, 256), source="heatmap",
+                          q=0.02, pad=0.0)
+    # tokens 2..4 -> pixels [64, 160)
+    assert np.allclose(np.asarray(h1)[0], [64, 64, 160, 160], atol=1e-4)
+    hp, _ = decode_boxes(out, (256, 256), (256, 256), source="heatmap",
+                         q=0.02, pad=0.25)
+    assert np.allclose(np.asarray(hp)[0], [40, 40, 184, 184], atol=1e-4)

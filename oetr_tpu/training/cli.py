@@ -55,6 +55,24 @@ def main(argv=None):
                     help="resume from the latest checkpoint in --save_path "
                          "(full state: params + optimizer + step — the "
                          "resume the reference lacks, train.py:192-194)")
+    ap.add_argument("--max_steps_per_segment", type=int, default=0,
+                    help="after N optimizer steps in THIS process: "
+                         "checkpoint and re-exec with --resume. Bounds "
+                         "the measured ~25 MB/step host-memory leak of "
+                         "the tunneled TPU backend (round-3 post-mortem: "
+                         "a 130 GB RSS OOM kill at step ~5300) without "
+                         "hand-written restart loops; 0 disables")
+    ap.add_argument("--aux_match", type=float, default=0.0,
+                    help="aux coarse-correspondence InfoNCE weight "
+                         "(losses.aux_match_loss)")
+    ap.add_argument("--heatmap", type=float, default=0.0,
+                    help="dense heatmap CE weight (losses.heatmap_ce_loss)")
+    ap.add_argument("--size_loss", type=float, default=0.0,
+                    help="direct tlbr size supervision weight "
+                         "(losses.size_loss)")
+    ap.add_argument("--reweight", type=float, default=0.0,
+                    help="difficulty reweighting power "
+                         "(losses.difficulty_weights)")
     # Multi-host flags (replace torch.distributed.launch + NCCL env://
     # rendezvous, ref train.py:60); all default from JAX_* env vars.
     ap.add_argument("--coordinator", default=None,
@@ -106,19 +124,42 @@ def main(argv=None):
             state, mesh, fsdp_axis="fsdp" if args.fsdp > 1 else None)
     step_fn = make_train_step(model, tx, mesh=mesh, cycle=args.cycle,
                               oiou=args.oiou, state_shardings=state_sh,
-                              full_cycle=args.full_cycle)
+                              full_cycle=args.full_cycle,
+                              aux_match_weight=args.aux_match,
+                              heatmap_weight=args.heatmap,
+                              size_weight=args.size_loss,
+                              reweight_power=args.reweight)
 
-    start_epoch = 0
+    start_epoch, start_it = 0, 0
     if args.resume:
         from .train import latest_checkpoint_step, load_checkpoint
         last = latest_checkpoint_step(args.save_path)
         if last is not None:
             state = load_checkpoint(args.save_path, last, state)
             start_epoch = int(state.step) // steps_per_epoch
-            log.info("resumed from step %d (epoch %d)", last, start_epoch)
+            # Mid-epoch resume: skip the batches already consumed so a
+            # segment boundary doesn't replay (or lose) part of an epoch.
+            start_it = (int(state.step) % steps_per_epoch) \
+                * jax.process_count()
+            log.info("resumed from step %d (epoch %d, it %d)", last,
+                     start_epoch, start_it)
         else:
             log.info("--resume: no checkpoint under %s, starting fresh",
                      args.save_path)
+
+    def reexec_segment():
+        """Checkpoint + replace this process with a fresh one resuming
+        from it (bounds the per-step host leak of the tunneled backend)."""
+        import os
+        import sys
+        save_checkpoint(args.save_path, state)
+        argv_out = list(argv) if argv is not None else sys.argv[1:]
+        if "--resume" not in argv_out:
+            argv_out.append("--resume")
+        log.info("segment limit %d reached at step %d — re-exec",
+                 args.max_steps_per_segment, int(state.step))
+        os.execv(sys.executable,
+                 [sys.executable, "-m", "oetr_tpu.training.cli", *argv_out])
 
     writer = None
     if args.tensorboard:
@@ -126,12 +167,17 @@ def main(argv=None):
         writer = ScalarWriter(args.tensorboard)
 
     rng = jax.random.key(train_cfg.seed + 1)
+    if start_it:
+        rng = jax.random.fold_in(rng, int(state.step))
+    segment_steps = 0
+    needs_geom = (args.full_cycle or args.aux_match > 0)
     for epoch in range(start_epoch, args.epochs):
         dataset.build_dataset()            # re-sample pairs (ref train.py:102)
         t0 = time.time()
         for it, batch in enumerate(
-                dataset.batches(args.batch_size,
-                                geometry=args.full_cycle)):
+                dataset.batches(args.batch_size, geometry=needs_geom)):
+            if epoch == start_epoch and it < start_it:
+                continue                   # mid-epoch resume skip
             # DistributedSampler parity (ref train.py:104-105): each
             # process keeps every P-th batch as its LOCAL shard; the
             # global batch assembled below is P x batch_size.
@@ -140,6 +186,10 @@ def main(argv=None):
             rng, drop = jax.random.split(rng)
             state, metrics = step_fn(state, shard_batch_global(batch, mesh),
                                      drop)
+            segment_steps += 1
+            if (args.max_steps_per_segment
+                    and segment_steps >= args.max_steps_per_segment):
+                reexec_segment()
             if it % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 log.info("epoch %d it %d loss %.4f iou %.3f/%.3f (%.1f s)",

@@ -197,3 +197,36 @@ def test_with_mask_loads_segmentation(tmp_path, rng):
     assert item["seg_mask1"].shape == (64, 64)
     assert item["seg_mask2"].shape == (64, 64)
     assert item["seg_mask1"].max() == 255.0 and item["seg_mask1"].min() == 0.0
+
+
+@pytest.mark.slow
+def test_cli_segment_reexec(tmp_path):
+    """--max_steps_per_segment: checkpoint + os.execv re-exec + mid-epoch
+    resume completes the full run (the round-3 host-leak workaround,
+    productized)."""
+    import subprocess
+    import sys
+
+    from oetr_tpu.data.synthetic import generate_scene
+
+    data = str(tmp_path / "ds")
+    pairs = generate_scene(data, n_pairs=4, image_hw=64)
+    save = str(tmp_path / "ckpt")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+              "AXON_LOOPBACK_RELAY", "XLA_FLAGS"):
+        env.pop(k, None)   # XLA_FLAGS: conftest's 8-device mesh would
+        # make batch 2 unshardable in the child
+    out = subprocess.run(
+        [sys.executable, "-m", "oetr_tpu.training.cli",
+         "--base_path", data, "--train_pairs", pairs,
+         "--batch_size", "2", "--epochs", "2", "--image_size", "64",
+         "--pairs_per_epoch", "4", "--save_path", save,
+         "--max_steps_per_segment", "1"],
+        capture_output=True, text=True, timeout=600, env=env)
+    log = out.stdout + out.stderr
+    assert out.returncode == 0, log[-2000:]
+    assert log.count("re-exec") >= 3, log[-2000:]
+    assert "resumed from step" in log
+    from oetr_tpu.training.train import latest_checkpoint_step
+    assert latest_checkpoint_step(save) == 4   # 2 epochs x 2 steps

@@ -65,7 +65,9 @@ def validation_error(kpts0: np.ndarray, kpts1: np.ndarray,
                      T_0to1: np.ndarray,
                      inparams0: np.ndarray | None = None,
                      inparams1: np.ndarray | None = None,
-                     thresh_px: float = 1.0, rng_seed: int = 0) -> dict:
+                     thresh_px: float = 1.0, rng_seed: int = 0,
+                     num_hypotheses: int = 512,
+                     lo_candidates: int = 8) -> dict:
     """One pair's metrics.
 
     Args:
@@ -107,7 +109,9 @@ def validation_error(kpts0: np.ndarray, kpts1: np.ndarray,
         res = estimate_pose(jnp.asarray(p0), jnp.asarray(p1),
                             jnp.asarray(valid), jnp.asarray(K0),
                             jnp.asarray(K1), jax.random.key(rng_seed),
-                            thresh_px=thresh_px)
+                            thresh_px=thresh_px,
+                            num_hypotheses=num_hypotheses,
+                            lo_candidates=lo_candidates)
         if bool(res["ok"]):
             et, eR = pose_error_fn(jnp.asarray(T_0to1), res["R"], res["t"])
             err_t, err_R = float(et), float(eR)

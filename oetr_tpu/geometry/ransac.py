@@ -141,12 +141,20 @@ def refine_pose_sampson(R: Array, t: Array, kpts0n: Array, kpts1n: Array,
         Rn = R @ so3_exp(delta[:3])
         tn = t + _tangent_basis(t) @ delta[3:]
         tn = tn / jnp.linalg.norm(tn)
-        # Accept only non-degrading steps (monotone in inlier count).
+        # Accept only non-degrading steps, judged by the MSAC score
+        # (truncated quadratic): unlike the raw inlier count it keeps
+        # discriminating *within* a fixed consensus set, so refinement
+        # continues toward the tight optimum instead of plateauing at
+        # the first model that reaches the count (measured round 4:
+        # count-acceptance left 5-25 deg errors on pairs whose GT model
+        # cv2 reached).
         En = skew(tn) @ Rn
-        cnt_new = jnp.sum((sampson_error(kpts0n, kpts1n, En) < thresh_sq)
-                          & vmask)
-        cnt_old = jnp.sum((e < thresh_sq) & vmask)
-        better = cnt_new >= cnt_old
+        s_new = jnp.sum(jnp.where(
+            vmask, jnp.maximum(1.0 - sampson_error(kpts0n, kpts1n, En)
+                               / thresh_sq, 0.0), 0.0))
+        s_old = jnp.sum(jnp.where(
+            vmask, jnp.maximum(1.0 - e / thresh_sq, 0.0), 0.0))
+        better = s_new >= s_old
         return (jnp.where(better, Rn, R), jnp.where(better, tn, t)), None
 
     (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
@@ -195,7 +203,12 @@ def ransac_essential(kpts0n: Array, kpts1n: Array, valid: Array,
         idx = _sample_minimal_sets(key, n_hyps, n, pool)
         Es = jax.vmap(essential_8pt)(kpts0n[idx], kpts1n[idx])   # [H, 3, 3]
         errs = jax.vmap(lambda E: sampson_error(kpts0n, kpts1n, E))(Es)
-        counts = jnp.sum((errs < thresh_sq) & valid[None, :], axis=-1)
+        # MSAC (truncated-quadratic) score: discriminates between
+        # hypotheses with equal inlier counts, so the LO stage starts
+        # from the tightest models, not the first to reach the count.
+        counts = jnp.sum(jnp.where(valid[None, :],
+                                   jnp.maximum(1.0 - errs / thresh_sq, 0.0),
+                                   0.0), axis=-1)
         return Es, errs, counts
 
     Es1, errs1, counts1 = fit_round(rng1, valid, num_hypotheses)
@@ -219,13 +232,34 @@ def ransac_essential(kpts0n: Array, kpts1n: Array, valid: Array,
     k1h = to_homogeneous(kpts1n)
 
     def local_optimize(E, inl0):
+        # Iterated least-squares refit on the consensus set (classic
+        # LO-RANSAC inner step, Chum et al. 2003): re-estimate E from all
+        # current inliers by weighted 8-point, update the inlier set, and
+        # repeat — this jumps a minimal-sample hypothesis to the
+        # least-squares optimum of its whole basin before the manifold GN
+        # polishes it (round-4 probe: without it, final inlier counts
+        # trailed cv2 by ~7 on multi-plane scenes).
+        def ls_step(carry, _):
+            E, inl = carry
+            E_new = essential_8pt(kpts0n, kpts1n,
+                                  inl.astype(kpts0n.dtype))
+            inl_new = ((sampson_error(kpts0n, kpts1n, E_new) < thresh_sq)
+                       & valid)
+            better = jnp.sum(inl_new) >= jnp.sum(inl)
+            return (jnp.where(better, E_new, E),
+                    jnp.where(better, inl_new, inl)), None
+
+        (E, inl0), _ = jax.lax.scan(ls_step, (E, inl0), None, length=3)
         pose = recover_pose(E, kpts0n, kpts1n, inl0)
         R, t = refine_pose_sampson(pose["R"], pose["t"], kpts0n, kpts1n,
                                    thresh_sq, valid)
         E_ref = skew(t) @ R
-        inl = (sampson_error(kpts0n, kpts1n, E_ref) < thresh_sq) & valid
+        e = sampson_error(kpts0n, kpts1n, E_ref)
+        inl = (e < thresh_sq) & valid
         z0, z1 = _cheirality_depths(R, t, k0h, k1h)
-        good = jnp.sum(inl & (z0 > 0) & (z1 > 0))
+        # Cheirality-masked MSAC score (see fit_round).
+        good = jnp.sum(jnp.where(inl & (z0 > 0) & (z1 > 0),
+                                 1.0 - e / thresh_sq, 0.0))
         return E_ref, R, t, inl, good
 
     E_lo, R_lo, t_lo, inl_lo, cnt_lo = jax.vmap(local_optimize)(
@@ -372,7 +406,7 @@ def estimate_pose(kpts0: Array, kpts1: Array, valid: Array, K0: Array,
     k0n = (kpts0 - c0[None]) / f0[None]
     k1n = (kpts1 - c1[None]) / f1[None]
 
-    rngE, rngH = jax.random.split(rng)
+    rngE, rngH, rngP = jax.random.split(rng, 3)
     res = ransac_essential(k0n, k1n, valid, norm_thresh, rngE,
                            num_hypotheses=num_hypotheses,
                            lo_candidates=lo_candidates)
@@ -384,32 +418,84 @@ def estimate_pose(kpts0: Array, kpts1: Array, valid: Array, K0: Array,
         thresh_sq = jnp.asarray(norm_thresh, k0n.dtype) ** 2
         k0h = to_homogeneous(k0n)
         k1h = to_homogeneous(k1n)
+        n = k0n.shape[0]
 
         resH = ransac_homography(k0n, k1n, valid, norm_thresh * 3.0, rngH,
                                  num_hypotheses=max(num_hypotheses // 2, 64))
-        Rs, ts, _ = decompose_homography(resH["H"])
+        H = resH["H"]
+        on_plane = resH["inliers"]
+        off_plane = valid & ~on_plane
+        Rs, ts, _ = decompose_homography(H)
 
-        # Score the RAW decomposed candidates: Sampson GN must not touch
-        # them — within the planar E-family every member fits the Sampson
-        # residuals, so refinement drifts freely and destroys exactly the
-        # cheirality disambiguation the H route provides.
-        def h_candidate(R, t):
-            inl = (sampson_error(k0n, k1n, skew(t) @ R) < thresh_sq) & valid
+        # Plane-and-parallax rescue (DEGENSAC, Chum et al. 2005): when the
+        # matches are dominated by one scene plane, 8-point samples land in
+        # the degenerate E-family of that plane and the true E may never
+        # enter the hypothesis pool (measured round 4: GT pose had up to 7
+        # more inliers than anything LO-RANSAC found on multi-plane
+        # scenes). The dominant-plane H pins the family; each OFF-plane
+        # correspondence contributes a residual line l = (H x0) x x1
+        # through the epipole e', two lines fix e', and E = [e']x H is the
+        # unique compatible essential matrix. Sampled off-plane line pairs
+        # give a fixed budget of such candidates, each GN-refined.
+        Hx0 = k0h @ H.T
+        lines = jnp.cross(Hx0, k1h)
+        lines = lines / jnp.maximum(
+            jnp.linalg.norm(lines, axis=-1, keepdims=True), 1e-12)
+        idx2 = _sample_minimal_sets(rngP, 16, n, off_plane, sample_size=2)
+        epipoles = jnp.cross(lines[idx2[:, 0]], lines[idx2[:, 1]])
+        S110 = jnp.array([1.0, 1.0, 0.0], k0n.dtype)
+
+        def pp_candidate(e):
+            e = e / jnp.maximum(jnp.linalg.norm(e), 1e-12)
+            F = skew(e) @ H
+            U, _, Vt = jnp.linalg.svd(F)
+            E = (U * S110[None, :]) @ Vt
+            inl0 = (sampson_error(k0n, k1n, E) < thresh_sq) & valid
+            pose = recover_pose(E, k0n, k1n, inl0)
+            return refine_pose_sampson(pose["R"], pose["t"], k0n, k1n,
+                                       thresh_sq, valid)
+
+        Rp, tp = jax.vmap(pp_candidate)(epipoles)
+
+        # Degeneracy trigger (DEGENSAC): the P&P candidates and the
+        # off-plane-weighted vote only engage when the E-route's inlier
+        # set is actually dominated by the plane — on well-conditioned
+        # scenes the plain cheirality count is the better statistic and
+        # the extra machinery measurably regressed pairs (round-4 probe).
+        h_dom = (jnp.sum(on_plane & inl_final)
+                 / jnp.maximum(jnp.sum(inl_final), 1))
+        degenerate = h_dom > 0.7
+
+        # Unified vote over all candidate poses. The RAW H decompositions
+        # stay unrefined: within the planar E-family every member fits the
+        # Sampson residuals, so GN would drift and destroy exactly the
+        # cheirality disambiguation the H route provides. In the
+        # degenerate regime, off-plane inliers count double — on-plane
+        # points cannot separate family members (every member fits them),
+        # so the off-plane points carry all the pose information.
+        # Ordering [H, P&P, E] keeps the legacy tie-break (H-route wins
+        # an exact tie against the E route).
+        R_all = jnp.concatenate([Rs, Rp, R_final[None]], axis=0)
+        t_all = jnp.concatenate([ts, tp, t_final[None]], axis=0)
+        off_w = jnp.where(degenerate, 2, 0)
+        n_cand = R_all.shape[0]
+        pp_mask = jnp.zeros((n_cand,), bool).at[4:4 + 16].set(True)
+
+        def score(R, t):
+            e = sampson_error(k0n, k1n, skew(t) @ R)
+            inl = (e < thresh_sq) & valid
             z0, z1 = _cheirality_depths(R, t, k0h, k1h)
-            return inl, jnp.sum(inl & (z0 > 0) & (z1 > 0))
+            good = inl & (z0 > 0) & (z1 > 0)
+            msac = jnp.where(good, 1.0 - e / thresh_sq, 0.0)
+            return inl, jnp.sum(msac) + off_w * jnp.sum(
+                jnp.where(good & off_plane, msac, 0.0))
 
-        inlh, goodh = jax.vmap(h_candidate)(Rs, ts)
-        bh = jnp.argmax(goodh)
-
-        zE0, zE1 = _cheirality_depths(R_final, t_final, k0h, k1h)
-        goodE = jnp.sum(inl_final & (zE0 > 0) & (zE1 > 0))
-        # >= : on (near-)planar scenes the wrong-family E often matches
-        # the H winner's Sampson count, but never beats its cheirality.
-        use_h = goodh[bh] >= goodE
-        R_final = jnp.where(use_h, Rs[bh], R_final)
-        t_final = jnp.where(use_h, ts[bh], t_final)
-        inl_final = jnp.where(use_h, inlh[bh], inl_final)
-        E_final = jnp.where(use_h, skew(ts[bh]) @ Rs[bh], E_final)
+        inl_all, score_all = jax.vmap(score)(R_all, t_all)
+        score_all = jnp.where(pp_mask & ~degenerate, -1, score_all)
+        b = jnp.argmax(score_all)
+        R_final, t_final = R_all[b], t_all[b]
+        inl_final = inl_all[b]
+        E_final = skew(t_final) @ R_final
 
     return {
         "E": E_final,

@@ -108,7 +108,16 @@ def main():
                          "the 1200-step SG didn't even fit its 192 "
                          "pre-extracted pairs)")
     ap.add_argument("--sg_lr", type=float, default=1e-4)
+    ap.add_argument("--max_steps_per_segment", type=int, default=0,
+                    help="checkpoint full phase state and re-exec the "
+                         "process after this many optimizer steps "
+                         "(SP+SG combined) — the tunneled TPU backend "
+                         "leaks host memory per step (BASELINE.md), so "
+                         "long runs must be segmented. 0 = off. "
+                         "Requires --ckpt_dir and --device_data.")
     args = ap.parse_args()
+    if args.max_steps_per_segment and not args.ckpt_dir:
+        ap.error("--max_steps_per_segment requires --ckpt_dir")
 
     import cv2
     import jax.numpy as jnp
@@ -154,6 +163,42 @@ def main():
                 ckpt.save(path, jax.tree.map(jnp.asarray, tree))
                 ckpt.wait_until_finished()
 
+    # --- segmented resume (host-leak workaround, cf. training/cli.py) ---
+    # The tunneled TPU backend leaks ~25 MB of host memory per dispatched
+    # step (BASELINE.md); long runs checkpoint the full phase state every
+    # segment and re-exec the process with identical argv.
+    seg_steps = 0
+    seg_tick = (max(1, min(100, args.max_steps_per_segment))
+                if args.max_steps_per_segment else 100)
+
+    def save_state(name, tree):
+        if ckpt is None:
+            return
+        path = os.path.abspath(os.path.join(args.ckpt_dir, name))
+        ckpt.save(path, jax.tree.map(jnp.asarray, tree), force=True)
+        ckpt.wait_until_finished()
+
+    def restore_state(name, target):
+        path = os.path.abspath(os.path.join(args.ckpt_dir, name))
+        if ckpt is not None and os.path.exists(path):
+            log(f"restoring segment state {name}")
+            return ckpt.restore(path, target)
+        return target
+
+    def segment_tick(n, save_fn):
+        """Count optimizer steps in this process; checkpoint and re-exec
+        once the segment budget is spent."""
+        nonlocal seg_steps
+        seg_steps += n
+        if (args.max_steps_per_segment
+                and seg_steps >= args.max_steps_per_segment):
+            save_fn()
+            log(f"segment limit {args.max_steps_per_segment} reached; "
+                "re-exec")
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+
     # ---- Phase 1: SuperPoint ------------------------------------------
     net = SuperPointNet(descriptor_dim=args.desc_dim)
     sp_params = jax.jit(net.init)(jax.random.key(0),
@@ -165,19 +210,19 @@ def main():
                 make_homography_pair_generator
             hp_gen = make_homography_pair_generator(
                 sp_hw, args.sp_batch, scale_range=(0.55, 1.8))
-            hp_rng = jax.random.key(11)
+            hp_base = jax.random.key(11)
 
-            def pair_batch(b):
-                nonlocal hp_rng
-                hp_rng, k_ = jax.random.split(hp_rng)
-                return hp_gen(k_)
+            def pair_batch(b, it=0):
+                # fold_in keeps the stream deterministic across
+                # segment re-execs (a split chain would restart).
+                return hp_gen(jax.random.fold_in(hp_base, it))
         else:
             log(f"texture pool ({args.tex_pool})...")
             pool = [cv2.cvtColor(_texture(rng, sp_hw, sp_hw),
                                  cv2.COLOR_RGB2GRAY).astype(np.float32)
                     / 255.0 for _ in range(args.tex_pool)]
 
-            def pair_batch(b):
+            def pair_batch(b, it=0):
                 im0 = np.zeros((b, sp_hw, sp_hw, 1), np.float32)
                 im1 = np.zeros((b, sp_hw, sp_hw, 1), np.float32)
                 Hs = np.zeros((b, 3, 3), np.float64)
@@ -202,13 +247,20 @@ def main():
             optax.adam(optax.piecewise_constant_schedule(
                 5e-4, {int(args.sp_steps * 0.7): 0.1})))
         opt = tx.init(sp_params)
+        state = restore_state("superpoint_state", {
+            "params": sp_params, "opt": opt,
+            "step": jnp.zeros((), jnp.int32)})
+        sp_params, opt = state["params"], state["opt"]
+        sp_start = int(state["step"])
+        if sp_start:
+            rng = np.random.default_rng(1000 + sp_start)
         step = make_superpoint_joint_train_step(net, tx, lambda_desc=1.0)
-        for it in range(args.sp_steps):
+        for it in range(sp_start, args.sp_steps):
             imgs, corners, counts = synthetic_shapes_batch(
                 rng, args.sp_batch, sp_hw)
             labels = jnp.asarray(corners_to_cell_labels(
                 corners, (sp_hw, sp_hw), counts))
-            im0, im1, H = pair_batch(args.sp_batch)
+            im0, im1, H = pair_batch(args.sp_batch, it)
             sp_params, opt, m = step(sp_params, opt, jnp.asarray(imgs),
                                      labels, jnp.asarray(im0),
                                      jnp.asarray(im1), jnp.asarray(H))
@@ -219,6 +271,11 @@ def main():
                     f"({time.time() - t0:.0f}s)")
                 if not (np.isfinite(det) and np.isfinite(des)):
                     raise RuntimeError(f"SP training diverged at {it}")
+            if (it + 1) % seg_tick == 0 and (it + 1) < args.sp_steps:
+                segment_tick(seg_tick, lambda: save_state(
+                    "superpoint_state",
+                    {"params": sp_params, "opt": opt,
+                     "step": jnp.asarray(it + 1, jnp.int32)}))
         maybe_save("superpoint", sp_params)
 
     # Fixed-k extractor sharing the trained net params.
@@ -310,10 +367,15 @@ def main():
             optax.adam(optax.piecewise_constant_schedule(
                 args.sg_lr, {int(args.sg_steps * 0.7): 0.1})))
         opt = tx.init(sg_params)
+        state = restore_state("superglue_state", {
+            "params": sg_params, "opt": opt,
+            "step": jnp.zeros((), jnp.int32)})
+        sg_params, opt = state["params"], state["opt"]
+        sg_start = int(state["step"])
         sg_step = make_superglue_train_step(sg, tx)
-        sg_rng = jax.random.key(23)
-        for it in range(args.sg_steps):
-            sg_rng, k_ = jax.random.split(sg_rng)
+        sg_base = jax.random.key(23)
+        for it in range(sg_start, args.sg_steps):
+            k_ = jax.random.fold_in(sg_base, it)
             batch = dict(sg_prep(scene_gen(k_)),
                          image_hw0=(hw, hw), image_hw1=(hw, hw))
             sg_params, opt, m = sg_step(sg_params, opt, batch)
@@ -321,6 +383,11 @@ def main():
                 log(f"SG step {it} nll {float(m['loss']):.4f} acc "
                     f"{float(m['match_acc']):.3f} "
                     f"({time.time() - t0:.0f}s)")
+            if (it + 1) % seg_tick == 0 and (it + 1) < args.sg_steps:
+                segment_tick(seg_tick, lambda: save_state(
+                    "superglue_state",
+                    {"params": sg_params, "opt": opt,
+                     "step": jnp.asarray(it + 1, jnp.int32)}))
         maybe_save("superglue", sg_params)
     elif not sg_restored and args.sg_steps > 0:
         # Pre-extract features + GT for every training pair (static data).

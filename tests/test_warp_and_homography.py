@@ -92,3 +92,20 @@ def test_ransac_similarity(rng):
                             jnp.ones(n, bool), 2.0, jax.random.key(1),
                             model="similarity")
     assert int(res["num_inliers"]) >= 75
+
+
+def test_crop_resize_matmul_matches_gather(rng):
+    """The separable-matmul fast path (MXU) must reproduce the gather
+    formulation exactly (same clamped-bilinear arithmetic per axis)."""
+    from oetr_tpu.ops.warp import crop_resize_gather
+
+    img = jnp.asarray(rng.random((40, 56, 3), dtype=np.float32))
+    for box in ([3.2, 5.5, 38.9, 31.0], [0.0, 0.0, 56.0, 40.0],
+                [10.0, 12.0, 14.5, 30.0]):
+        b = jnp.asarray(box, jnp.float32)
+        c_mm, r_mm, v_mm = crop_resize(img, b, (48, 32))
+        c_g, r_g, v_g = crop_resize_gather(img, b, (48, 32))
+        np.testing.assert_allclose(float(r_mm), float(r_g), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(v_mm), np.asarray(v_g))
+        np.testing.assert_allclose(np.asarray(c_mm), np.asarray(c_g),
+                                   atol=2e-5)

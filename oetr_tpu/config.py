@@ -22,6 +22,8 @@ class BackboneConfig:
     stem_s2d: bool = False          # space-to-depth stem (resnet.py) —
                                     # exact 7x7/s2 equivalent, 4x MXU
                                     # occupancy on the 3-channel stem
+    fused_stem: bool = False        # Pallas fused GN+ReLU+maxpool stem
+                                    # (ops/pallas_norm.py), ckpt-compatible
     norm_input: bool = True         # (x - 0.45) / 0.225, backbone.py:162-163
 
 

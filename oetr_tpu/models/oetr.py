@@ -162,6 +162,7 @@ class OETR(nn.Module):
                                  norm=cfg.backbone.norm,
                                  norm_input=cfg.backbone.norm_input,
                                  stem_s2d=cfg.backbone.stem_s2d,
+                                 fused_stem=cfg.backbone.fused_stem,
                                  dtype=dtype, name="backbone")
         input_proj = nn.Conv(d, (1, 1), dtype=dtype, name="input_proj")
         patch_merge = PatchMerging(d, cfg.neck.patch_sizes, dtype=dtype,

@@ -118,6 +118,32 @@ class Bottleneck(nn.Module):
         return nn.relu(residual + y)
 
 
+class FusedGNPool(nn.Module):
+    """GroupNorm + ReLU + 3x3/s2 max-pool as one Pallas kernel.
+
+    Drop-in for the stem's ``GroupNorm -> relu -> max_pool`` chain with
+    flax.linen.GroupNorm's exact param names/shapes (scale, bias).
+    """
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ..ops.pallas_norm import groupnorm_relu_maxpool_trainable
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        h = x.shape[1]
+        # Largest output-row tile <= 20 dividing the pooled height, with
+        # the DMA window 2*toh + 2 <= H.
+        toh = next(t for t in range(min(20, h // 2 - 1), 0, -1)
+                   if (h // 2) % t == 0)
+        return groupnorm_relu_maxpool_trainable(
+            x, scale, bias, self.num_groups, self.epsilon, toh)
+
+
 class ResNetEncoder(nn.Module):
     """Truncated ResNet feature extractor.
 
@@ -129,6 +155,7 @@ class ResNetEncoder(nn.Module):
     norm: str = "gn"
     norm_input: bool = True
     stem_s2d: bool = False
+    fused_stem: bool = False    # Pallas GN+ReLU+pool stem (ops/pallas_norm)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -161,9 +188,18 @@ class ResNetEncoder(nn.Module):
             # Stem: conv7x7/s2 (+ norm + relu + maxpool3x3/s2 below).
             x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
                         use_bias=False, dtype=self.dtype)(x)
-        x = make_norm()(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.fused_stem and self.norm == "gn":
+            # Pallas fused GN+ReLU+maxpool (ops/pallas_norm.py): one
+            # read -> quarter-size write instead of three full-res
+            # passes over the largest activation in the model. Named
+            # "GroupNorm_0" so the param tree (scale/bias) is identical
+            # to the unfused path — checkpoints interchange freely.
+            x = FusedGNPool(dtype=self.dtype, name="GroupNorm_0")(x)
+        else:
+            x = make_norm()(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
         n_stages = {"layer1": 1, "layer2": 2, "layer3": 3, "layer4": 4}[

@@ -82,6 +82,31 @@ def _attend(kind: str, q, k, v, q_mask, kv_mask, use_pallas: bool = False):
     raise ValueError(f"unknown attention {kind!r}")
 
 
+class _RawKernel(nn.Module):
+    """Bare Dense-kernel param holder (same scope/param name as
+    nn.Dense(use_bias=False)) for fused kernels that consume raw
+    weights."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _RawLN(nn.Module):
+    """Bare LayerNorm param holder (scale/bias rows stacked [2, C])."""
+    dim: int
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return jnp.stack([
+            self.param("scale", nn.initializers.ones, (self.dim,),
+                       jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.dim,),
+                       jnp.float32)])
+
+
 class EncoderLayer(nn.Module):
     """Pre-norm encoder layer (ref: transformer.py:75-142).
 
@@ -99,23 +124,56 @@ class EncoderLayer(nn.Module):
                  source_mask: Array | None = None,
                  x_pos: Array | None = None,
                  s_pos: Array | None = None) -> Array:
+        import os
+
+        import jax
+
         b, n, _ = x.shape
         head_dim = self.d_model // self.nhead
-        query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm_q")(x)
-        kv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm_kv")(source)
-        key = value = kv
-        if x_pos is not None:
-            query = query + x_pos
-            key = key + s_pos
-            value = value + s_pos
-
         dense = lambda name: nn.Dense(self.d_model, use_bias=False,
                                       dtype=self.dtype, name=name)
-        q = dense("q_proj")(query).reshape(b, n, self.nhead, head_dim)
-        k = dense("k_proj")(key).reshape(b, -1, self.nhead, head_dim)
-        v = dense("v_proj")(value).reshape(b, -1, self.nhead, head_dim)
-        message = _attend(self.attention, q, k, v, x_mask, source_mask)
-        message = dense("merge")(message.reshape(b, n, self.d_model))
+
+        on_tpu = jax.default_backend() == "tpu"
+        interpret = (not on_tpu) and bool(os.environ.get(
+            "OETR_PALLAS_INTERPRET"))
+        if (self.attention == "linear:pallas" and x_pos is not None
+                and (on_tpu or interpret) and n >= 8):
+            # Whole-sublayer fused kernel (round 4): the bare attention
+            # kernel's microbench win inverted end to end because
+            # pre-norm/PE stopped fusing across the pallas_call boundary
+            # (PERF.md r3); LN + PE + projections + attention now run in
+            # one VMEM-resident program. Raw param modules reuse the
+            # exact scope/param names of the unfused branch, so both
+            # paths share checkpoints (and fresh inits are identical —
+            # flax derives param RNG from the scope path).
+            from ..ops.pallas_attention import linear_encoder_attention_pallas
+            lnq = _RawLN(self.d_model, name="pre_norm_q")()
+            lnkv = _RawLN(self.d_model, name="pre_norm_kv")()
+            wq = _RawKernel((self.d_model, self.d_model), name="q_proj")()
+            wk = _RawKernel((self.d_model, self.d_model), name="k_proj")()
+            wv = _RawKernel((self.d_model, self.d_model), name="v_proj")()
+            xd = x.astype(self.dtype)
+            sd = source.astype(self.dtype)
+            message = linear_encoder_attention_pallas(
+                xd, sd, x_pos, s_pos, lnq, lnkv, wq, wk, wv,
+                x_mask, source_mask, nhead=self.nhead, interpret=interpret)
+        else:
+            query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name="pre_norm_q")(x)
+            kv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name="pre_norm_kv")(source)
+            key = value = kv
+            if x_pos is not None:
+                query = query + x_pos
+                key = key + s_pos
+                value = value + s_pos
+
+            q = dense("q_proj")(query).reshape(b, n, self.nhead, head_dim)
+            k = dense("k_proj")(key).reshape(b, -1, self.nhead, head_dim)
+            v = dense("v_proj")(value).reshape(b, -1, self.nhead, head_dim)
+            message = _attend(self.attention, q, k, v, x_mask, source_mask)
+            message = message.reshape(b, n, self.d_model)
+        message = dense("merge")(message)
 
         x = x + message
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)

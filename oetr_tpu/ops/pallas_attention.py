@@ -363,3 +363,167 @@ def flash_attention_pallas(q: Array, k: Array, v: Array,
 
     from .attention import full_attention as xla_op
     return _with_xla_vjp(pallas_fwd, xla_op)(q, k, v, qm0, km0)
+
+
+# ---------------------------------------------------------------------------
+# Whole-sublayer fused encoder attention (round 4, VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+
+def _linear_encoder_kernel(x_ref, s_ref, xp_ref, sp_ref, lnq_ref, lnkv_ref,
+                           wq_ref, wk_ref, wv_ref, qm_ref, km_ref, o_ref, *,
+                           nhead: int, eps: float):
+    """One batch row of a pre-norm encoder attention sublayer, fully
+    fused: LayerNorm -> +positional encoding -> q/k/v projections ->
+    masked linear attention, all VMEM-resident.
+
+    Round-3 finding (PERF.md): the bare attention kernel's 1.65x
+    microbench win inverted to -3% end to end because the pre-norm and
+    PE adds stopped fusing across the pallas_call boundary (q/k/v
+    round-trip through HBM). The PE add cannot move into the kernel
+    alone — it precedes the projections (transformer.py:107-116, ref
+    transformer.py:123-126) — so the whole sublayer moves in.
+
+    Blocks: x [1, L, C]; src [1, S, C]; pos [1, L/S, C]; ln params
+    [2, C] f32 (scale, bias); W [C, C] f32; masks as in the bare kernel.
+    """
+    x = x_ref[0]
+    src = s_ref[0]
+    qm = qm_ref[0]                                 # [L, 1] f32
+    km = km_ref[0]                                 # [S, 1] f32
+
+    def ln(t, p):
+        t32 = t.astype(jnp.float32)
+        mu = jnp.mean(t32, axis=-1, keepdims=True)
+        cen = t32 - mu
+        var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+        return cen * jax.lax.rsqrt(var + 1e-5) * p[0][None, :] + p[1][None, :]
+
+    dt = x.dtype
+    q_in = (ln(x, lnq_ref[...]) + xp_ref[0].astype(jnp.float32)).astype(dt)
+    kv_in = (ln(src, lnkv_ref[...]) + sp_ref[0].astype(jnp.float32)).astype(dt)
+
+    q = jnp.dot(q_in, wq_ref[...].astype(dt),
+                preferred_element_type=jnp.float32).astype(dt)
+    k = jnp.dot(kv_in, wk_ref[...].astype(dt),
+                preferred_element_type=jnp.float32).astype(dt)
+    v = jnp.dot(kv_in, wv_ref[...].astype(dt),
+                preferred_element_type=jnp.float32).astype(dt)
+
+    Q = _elu_p1(q) * qm.astype(dt)
+    K = _elu_p1(k) * km.astype(dt)
+    V = v * km.astype(dt)
+
+    s_len = V.shape[0]
+    d = q.shape[-1] // nhead
+    inv_s = 1.0 / s_len
+    for h in range(nhead):
+        sl = slice(h * d, (h + 1) * d)
+        Kh = K[:, sl]
+        Qh = Q[:, sl]
+        Vh = V[:, sl] * inv_s
+        kv = jnp.dot(Kh.T, Vh, preferred_element_type=jnp.float32)
+        k_sum = jnp.sum(Kh.astype(jnp.float32), axis=0, keepdims=True)
+        den = jnp.dot(Qh, k_sum.T.astype(Qh.dtype),
+                      preferred_element_type=jnp.float32)
+        z = 1.0 / jnp.maximum(den, eps)
+        out = jnp.dot(Qh, kv.astype(Qh.dtype),
+                      preferred_element_type=jnp.float32) * z * s_len
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+
+def linear_encoder_attention_xla(x, source, x_pos, s_pos, lnq, lnkv,
+                                 wq, wk, wv, q_mask, kv_mask,
+                                 nhead: int = 8, eps: float = 1e-6):
+    """XLA twin of the fused sublayer (parity oracle + VJP backward)."""
+    from .attention import linear_attention
+
+    def ln(t, p):
+        t32 = t.astype(jnp.float32)
+        mu = jnp.mean(t32, axis=-1, keepdims=True)
+        cen = t32 - mu
+        var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+        return cen * jax.lax.rsqrt(var + 1e-5) * p[0] + p[1]
+
+    dt = x.dtype
+    b, l, c = x.shape
+    q_in = (ln(x, lnq) + x_pos.astype(jnp.float32)).astype(dt)
+    kv_in = (ln(source, lnkv) + s_pos.astype(jnp.float32)).astype(dt)
+    nh = nhead
+    q = (q_in @ wq.astype(dt)).reshape(b, l, nh, c // nh)
+    k = (kv_in @ wk.astype(dt)).reshape(b, -1, nh, c // nh)
+    v = (kv_in @ wv.astype(dt)).reshape(b, -1, nh, c // nh)
+    out = linear_attention(q, k, v, q_mask, kv_mask, eps=eps)
+    return out.reshape(b, l, c)
+
+
+@functools.partial(jax.jit, static_argnames=("nhead", "interpret"))
+def linear_encoder_attention_pallas(x, source, x_pos, s_pos, lnq, lnkv,
+                                    wq, wk, wv, q_mask, kv_mask,
+                                    nhead: int = 8, eps: float = 1e-6,
+                                    interpret: bool = False):
+    """Fused pre-norm + PE + projections + masked linear attention.
+
+    x [B, L, C]; source [B, S, C]; pos [B or 1, L/S, C]; lnq/lnkv
+    [2, C] f32 (scale, bias rows); wq/wk/wv [C, C] f32. Returns
+    [B, L, C] (pre-merge attention message). Differentiable via the XLA
+    twin's VJP.
+    """
+    b, l, c = x.shape
+    s = source.shape[1]
+    qm = (jnp.ones((b, l), jnp.float32) if q_mask is None
+          else q_mask.astype(jnp.float32))
+    km = (jnp.ones((b, s), jnp.float32) if kv_mask is None
+          else kv_mask.astype(jnp.float32))
+    xp = jnp.broadcast_to(x_pos.astype(jnp.float32), (b, l, c))
+    sp = jnp.broadcast_to(s_pos.astype(jnp.float32), (b, s, c))
+    d = c // nhead
+    cost = pl.CostEstimate(
+        flops=2 * b * (3 * (l + 2 * s) // 3 * c * c
+                       + nhead * (s * d * d + l * d * d + l * d)),
+        bytes_accessed=2 * b * (2 * l * c + 2 * s * c) + 3 * 4 * c * c,
+        transcendentals=b * (l + s) * c,
+    )
+
+    tok = lambda n: pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    fixed = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    mask = lambda n: pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+
+    def pallas_fwd(x, source, xp, sp, lnq, lnkv, wq, wk, wv, qm, km):
+        return pl.pallas_call(
+            functools.partial(_linear_encoder_kernel, nhead=nhead, eps=eps),
+            grid=(b,),
+            in_specs=[tok(l), tok(s), tok(l), tok(s),
+                      fixed((2, c)), fixed((2, c)),
+                      fixed((c, c)), fixed((c, c)), fixed((c, c)),
+                      mask(l), mask(s)],
+            out_specs=tok(l),
+            out_shape=jax.ShapeDtypeStruct((b, l, c), x.dtype),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(x, source, xp, sp, lnq, lnkv, wq, wk, wv,
+          qm[:, :, None], km[:, :, None])
+
+    @jax.custom_vjp
+    def f(x, source, xp, sp, lnq, lnkv, wq, wk, wv, qm, km):
+        return pallas_fwd(x, source, xp, sp, lnq, lnkv, wq, wk, wv, qm, km)
+
+    def fwd(*args):
+        return pallas_fwd(*args), args
+
+    def bwd(res, g):
+        (x, source, xp, sp, lnq, lnkv, wq, wk, wv, qm, km) = res
+        _, vjp = jax.vjp(
+            lambda x_, s_, xp_, sp_, lnq_, lnkv_, wq_, wk_, wv_:
+            linear_encoder_attention_xla(x_, s_, xp_, sp_, lnq_, lnkv_,
+                                         wq_, wk_, wv_, qm > 0, km > 0,
+                                         nhead, eps),
+            x, source, xp, sp, lnq, lnkv, wq, wk, wv)
+        grads = vjp(g)
+        return grads + (jnp.zeros_like(qm), jnp.zeros_like(km))
+
+    f.defvjp(fwd, bwd)
+    return f(x, source, xp, sp, lnq, lnkv, wq, wk, wv, qm, km)

@@ -1,4 +1,5 @@
 """Pallas kernels vs jnp reference ops (interpret mode on CPU)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -145,3 +146,37 @@ def test_pallas_attention_grads_match_xla(rng):
         g_x = jax.grad(lambda q_: jnp.sum(xla_fn(q_, k, v, qm, km) ** 2))(q)
         np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_x),
                                    atol=5e-4)
+
+
+def test_fused_encoder_sublayer_parity(rng):
+    """linear:pallas EncoderLayer (whole-sublayer fused kernel, round 4)
+    must share the param tree with the plain path and agree numerically
+    (same params, same inputs) in interpret mode."""
+    import os
+
+    from oetr_tpu.models.transformer import EncoderLayer
+
+    b, n, s, c = 2, 16, 24, 32
+    x = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    xp = jnp.asarray(rng.normal(size=(1, n, c)).astype(np.float32)) * 0.1
+    sp = jnp.asarray(rng.normal(size=(1, s, c)).astype(np.float32)) * 0.1
+    xm = jnp.asarray(rng.random((b, n)) > 0.2)
+    sm = jnp.asarray(rng.random((b, s)) > 0.2)
+
+    plain = EncoderLayer(d_model=c, nhead=4, attention="linear")
+    fused = EncoderLayer(d_model=c, nhead=4, attention="linear:pallas")
+    params = plain.init(jax.random.key(0), x, src, xm, sm, xp, sp)
+    y0 = plain.apply(params, x, src, xm, sm, xp, sp)
+
+    os.environ["OETR_PALLAS_INTERPRET"] = "1"
+    try:
+        p1 = fused.init(jax.random.key(0), x, src, xm, sm, xp, sp)
+        assert jax.tree.structure(p1) == jax.tree.structure(params)
+        # identical fresh inits (param RNG derives from scope path)
+        for a, b_ in zip(jax.tree.leaves(params), jax.tree.leaves(p1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_))
+        y1 = fused.apply(params, x, src, xm, sm, xp, sp)
+    finally:
+        del os.environ["OETR_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)

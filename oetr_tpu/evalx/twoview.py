@@ -106,12 +106,18 @@ def validation_error(kpts0: np.ndarray, kpts1: np.ndarray,
     else:
         p0, valid = _pad_pow2(mk0.astype(np.float32))
         p1, _ = _pad_pow2(mk1.astype(np.float32))
-        res = estimate_pose(jnp.asarray(p0), jnp.asarray(p1),
-                            jnp.asarray(valid), jnp.asarray(K0),
-                            jnp.asarray(K1), jax.random.key(rng_seed),
-                            thresh_px=thresh_px,
-                            num_hypotheses=num_hypotheses,
-                            lo_candidates=lo_candidates)
+        # Pin the estimator to the CPU backend: the 5-point hypothesis
+        # round (geometry/fivepoint.py) solves its eigenproblem on the
+        # host via pure_callback, which the tunneled axon TPU runtime
+        # does not support — and per-pair RANSAC is host-scale work
+        # anyway (keeps the chip free for the batched matching path).
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            res = estimate_pose(jnp.asarray(p0), jnp.asarray(p1),
+                                jnp.asarray(valid), jnp.asarray(K0),
+                                jnp.asarray(K1), jax.random.key(rng_seed),
+                                thresh_px=thresh_px,
+                                num_hypotheses=num_hypotheses,
+                                lo_candidates=lo_candidates)
         if bool(res["ok"]):
             et, eR = pose_error_fn(jnp.asarray(T_0to1), res["R"], res["t"])
             err_t, err_R = float(et), float(eR)

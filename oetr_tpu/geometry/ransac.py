@@ -161,10 +161,12 @@ def refine_pose_sampson(R: Array, t: Array, kpts0n: Array, kpts1n: Array,
     return R, t
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "lo_candidates"))
+@partial(jax.jit, static_argnames=("num_hypotheses", "lo_candidates",
+                                   "use_5pt"))
 def ransac_essential(kpts0n: Array, kpts1n: Array, valid: Array,
                      threshold: float, rng: Array,
-                     num_hypotheses: int = 512, lo_candidates: int = 8):
+                     num_hypotheses: int = 512, lo_candidates: int = 8,
+                     use_5pt: bool = True):
     """Fixed-budget parallel LO-RANSAC for the essential matrix.
 
     Pipeline (all static shapes):
@@ -197,7 +199,7 @@ def ransac_essential(kpts0n: Array, kpts1n: Array, valid: Array,
     """
     n = kpts0n.shape[0]
     thresh_sq = jnp.asarray(threshold, kpts0n.dtype) ** 2
-    rng1, rng2 = jax.random.split(rng)
+    rng1, rng2, rng5 = jax.random.split(rng, 3)
 
     def fit_round(key, pool, n_hyps):
         idx = _sample_minimal_sets(key, n_hyps, n, pool)
@@ -212,6 +214,29 @@ def ransac_essential(kpts0n: Array, kpts1n: Array, valid: Array,
         return Es, errs, counts
 
     Es1, errs1, counts1 = fit_round(rng1, valid, num_hypotheses)
+
+    if use_5pt:
+        # Nister 5-point minimal hypotheses (geometry/fivepoint.py): the
+        # 8-point fit degenerates on plane-dominated samples (any member
+        # of the plane's E-family fits) — the exact minimal solver keeps
+        # the true twisted-pair candidates in the pool. Solved in f64 on
+        # the host behind pure_callback (no TPU nonsymmetric eig);
+        # disable for pure-on-device paths.
+        from .fivepoint import five_point_hypotheses
+        idx5 = _sample_minimal_sets(rng5, max(num_hypotheses // 4, 32), n,
+                                    valid, sample_size=5)
+        Es5, ok5 = five_point_hypotheses(kpts0n, kpts1n, idx5)
+        Es5 = Es5.astype(kpts0n.dtype)
+        errs5 = jax.vmap(lambda E: sampson_error(kpts0n, kpts1n, E))(Es5)
+        counts5 = jnp.where(
+            ok5,
+            jnp.sum(jnp.where(valid[None, :],
+                              jnp.maximum(1.0 - errs5 / thresh_sq, 0.0),
+                              0.0), axis=-1),
+            -1.0)
+        Es1 = jnp.concatenate([Es1, Es5])
+        errs1 = jnp.concatenate([errs1, errs5])
+        counts1 = jnp.concatenate([counts1, counts5])
 
     # Round 2: resample from the best consensus set (kept only when it is
     # large enough to yield diverse 8-point samples).
@@ -373,11 +398,11 @@ def decompose_homography(H: Array):
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "lo_candidates",
-                                   "planar_fallback"))
+                                   "planar_fallback", "use_5pt"))
 def estimate_pose(kpts0: Array, kpts1: Array, valid: Array, K0: Array,
                   K1: Array, rng: Array, thresh_px: float = 1.0,
                   num_hypotheses: int = 512, lo_candidates: int = 8,
-                  planar_fallback: bool = True):
+                  planar_fallback: bool = True, use_5pt: bool = True):
     """End-to-end pose estimation mirroring the reference's estimate_pose
     (dloc/evaluate/utils/evaluation.py:209-240): normalize by intrinsics,
     threshold = thresh_px / f_mean (same duplicated-index mean of
@@ -409,7 +434,7 @@ def estimate_pose(kpts0: Array, kpts1: Array, valid: Array, K0: Array,
     rngE, rngH, rngP = jax.random.split(rng, 3)
     res = ransac_essential(k0n, k1n, valid, norm_thresh, rngE,
                            num_hypotheses=num_hypotheses,
-                           lo_candidates=lo_candidates)
+                           lo_candidates=lo_candidates, use_5pt=use_5pt)
     E_final, R_final, t_final = res["E"], res["R"], res["t"]
     inl_final = res["inliers"]
 

@@ -167,3 +167,53 @@ def test_near_planar_scenes():
             for seed in (0, 1):
                 rerr, terr = _scene_case(pts, of, seed=seed)
                 assert rerr < 1.0 and terr < 5.0, (of, seed, rerr, terr)
+
+
+def test_five_point_minimal_recovery(rng):
+    """The Nister 5-point solver recovers the true E from exact minimal
+    samples — including all-coplanar samples, where 8-point degenerates
+    into the plane's E-family (the round-4 accuracy fix)."""
+    from oetr_tpu.geometry.fivepoint import solve_5pt_host
+
+    def make(planar):
+        if planar:
+            nrm = rng.normal(size=3)
+            nrm /= np.linalg.norm(nrm)
+            basis = np.linalg.svd(nrm[None])[2][1:]
+            P = 3.0 * nrm[None] + rng.uniform(-1, 1, (5, 2)) @ basis
+            if np.any(P[:, 2] < 0.5):
+                P[:, 2] = np.abs(P[:, 2]) + 1.0
+        else:
+            P = rng.uniform(-1, 1, (5, 3))
+            P[:, 2] += 3.0
+        w = rng.normal(size=3) * 0.3
+        th = np.linalg.norm(w)
+        K = np.eye(3) + np.sin(th) / th * _skew(w) + (
+            (1 - np.cos(th)) / th ** 2) * (_skew(w) @ _skew(w))
+        t = rng.normal(size=3)
+        t /= np.linalg.norm(t)
+        p0 = P[:, :2] / P[:, 2:]
+        P2 = P @ K.T + t
+        p1 = P2[:, :2] / P2[:, 2:]
+        E = _skew(t) @ K
+        return p0, p1, E / np.linalg.norm(E)
+
+    def _skew(v):
+        return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]],
+                         [-v[1], v[0], 0.0]])
+
+    for planar in (False, True):
+        p0s, p1s, egts = zip(*[make(planar) for _ in range(10)])
+        E, valid = solve_5pt_host(np.stack(p0s), np.stack(p1s))
+        hits = 0
+        for i in range(10):
+            best = min(
+                (min(np.linalg.norm(E[i, j] / np.linalg.norm(E[i, j])
+                                    - egts[i]),
+                     np.linalg.norm(E[i, j] / np.linalg.norm(E[i, j])
+                                    + egts[i]))
+                 for j in range(10) if valid[i, j]), default=np.inf)
+            hits += best < 1e-3
+        # a stray degenerate sample (points behind camera,
+        # repeated eigenvalues) may miss; require 8/10
+        assert hits >= 8, (planar, hits)

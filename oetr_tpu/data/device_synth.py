@@ -179,6 +179,54 @@ def _synthesize_one(rng: jax.Array, hw: int, pad: int, depth_z: float,
     }
 
 
+def random_homography_device(rng: jax.Array, hw: int,
+                             max_rot_deg: float = 25.0,
+                             scale_range: tuple[float, float] = (0.55, 1.8),
+                             max_shift_frac: float = 0.15,
+                             max_persp: float = 5e-4) -> Array:
+    """Random center-anchored rotation+scale+shift+perspective homography
+    (training/superpoint.random_homography semantics), on device."""
+    k_rot, k_scale, k_shift, k_persp = jax.random.split(rng, 4)
+    th = jnp.deg2rad(jax.random.uniform(
+        k_rot, (), minval=-max_rot_deg, maxval=max_rot_deg))
+    s = jax.random.uniform(k_scale, (), minval=scale_range[0],
+                           maxval=scale_range[1])
+    tsh = jax.random.uniform(k_shift, (2,), minval=-max_shift_frac,
+                             maxval=max_shift_frac) * hw
+    persp = jax.random.uniform(k_persp, (2,), minval=-max_persp,
+                               maxval=max_persp)
+    c, si = jnp.cos(th), jnp.sin(th)
+    cx = cy = hw / 2.0
+    A = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    A = A.at[0, 0].set(s * c).at[0, 1].set(-s * si)
+    A = A.at[1, 0].set(s * si).at[1, 1].set(s * c)
+    T1 = jnp.array([[1.0, 0, -cx], [0, 1.0, -cy], [0, 0, 1.0]])
+    T2 = jnp.array([[1.0, 0, cx], [0, 1.0, cy], [0, 0, 1.0]])
+    T2 = T2.at[0, 2].add(tsh[0]).at[1, 2].add(tsh[1])
+    P = jnp.eye(3).at[2, 0].set(persp[0]).at[2, 1].set(persp[1])
+    return T2 @ P @ A @ T1
+
+
+def warp_gray(g: Array, H: Array, hw: int):
+    """Inverse-warp a [hw, hw] (or [hw, hw, 1]) grayscale image by H.
+
+    im1(x) = g(H^-1 x) with zero border (cv2.warpPerspective parity).
+    Returns (im1 [hw, hw, 1], inside [hw, hw] bool).
+    """
+    if g.ndim == 3:
+        g = g[..., 0]
+    Hi = jnp.linalg.inv(H)
+    u = jnp.arange(hw, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(u, u, indexing="xy")
+    pts = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)      # [hw,hw,3]
+    src = pts @ Hi.T
+    sx = src[..., 0] / src[..., 2]
+    sy = src[..., 1] / src[..., 2]
+    inside = (sx >= 0) & (sx <= hw - 1) & (sy >= 0) & (sy <= hw - 1)
+    warped = _bilinear(g[..., None], sx, sy)[..., 0]
+    return jnp.where(inside, warped, 0.0)[..., None], inside
+
+
 def make_homography_pair_generator(hw: int, batch_size: int,
                                    max_rot_deg: float = 25.0,
                                    scale_range: tuple[float, float] = (0.55,
@@ -201,41 +249,14 @@ def make_homography_pair_generator(hw: int, batch_size: int,
     H [B,3,3])`` with im1 = warp(im0, H).
     """
     def one(rng):
-        k_tex, k_rot, k_scale, k_shift, k_persp = jax.random.split(rng, 5)
+        k_tex, k_h = jax.random.split(rng)
         tex = _texture(k_tex, hw, hw)
         g = (0.299 * tex[..., 0] + 0.587 * tex[..., 1]
              + 0.114 * tex[..., 2])
-        th = jnp.deg2rad(jax.random.uniform(
-            k_rot, (), minval=-max_rot_deg, maxval=max_rot_deg))
-        s = jax.random.uniform(k_scale, (), minval=scale_range[0],
-                               maxval=scale_range[1])
-        tsh = jax.random.uniform(k_shift, (2,), minval=-max_shift_frac,
-                                 maxval=max_shift_frac) * hw
-        persp = jax.random.uniform(k_persp, (2,), minval=-max_persp,
-                                   maxval=max_persp)
-        c, si = jnp.cos(th), jnp.sin(th)
-        cx = cy = hw / 2.0
-        A = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
-        A = A.at[0, 0].set(s * c).at[0, 1].set(-s * si)
-        A = A.at[1, 0].set(s * si).at[1, 1].set(s * c)
-        T1 = jnp.array([[1.0, 0, -cx], [0, 1.0, -cy], [0, 0, 1.0]])
-        T2 = jnp.array([[1.0, 0, cx], [0, 1.0, cy], [0, 0, 1.0]])
-        T2 = T2.at[0, 2].add(tsh[0]).at[1, 2].add(tsh[1])
-        P = jnp.eye(3).at[2, 0].set(persp[0]).at[2, 1].set(persp[1])
-        H = T2 @ P @ A @ T1
-        # Inverse warp: im1(x) = im0(H^-1 x), zero outside (constant
-        # border — reflect would create false hinge negatives).
-        Hi = jnp.linalg.inv(H)
-        u = jnp.arange(hw, dtype=jnp.float32)
-        gx, gy = jnp.meshgrid(u, u, indexing="xy")
-        pts = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # [hw,hw,3]
-        src = pts @ Hi.T
-        sx = src[..., 0] / src[..., 2]
-        sy = src[..., 1] / src[..., 2]
-        inside = (sx >= 0) & (sx <= hw - 1) & (sy >= 0) & (sy <= hw - 1)
-        warped = _bilinear(g[..., None], sx, sy)[..., 0]
-        im1 = jnp.where(inside, warped, 0.0)
-        return g[..., None], im1[..., None], H
+        H = random_homography_device(k_h, hw, max_rot_deg, scale_range,
+                                     max_shift_frac, max_persp)
+        im1, _ = warp_gray(g, H, hw)
+        return g[..., None], im1, H
 
     @jax.jit
     def gen(rng: jax.Array):

@@ -8,21 +8,23 @@ extra full-resolution passes over the [B, 320, 320, 64] conv output
 This kernel collapses the *apply* side to a single read -> quarter-size
 write: the per-(batch, channel) affine (scale, shift) is precomputed
 from the GroupNorm statistics by one XLA reduction pass (reductions are
-already at SoL there), and normalize+ReLU+pool happen in VMEM. Input
-row windows of adjacent output tiles overlap by two rows, so the kernel
-streams its window from HBM with an explicit async DMA instead of a
-(disjoint) BlockSpec tiling.
+already at SoL there), and normalize+ReLU+pool happen in VMEM.
+
+The 3x3/s2 pool needs a one-row halo on each side of a row tile.
+Manual HBM->VMEM DMA for the overlapping window does not compile on the
+tunneled Mosaic toolchain, so the halo rides as two extra ONE-ROW
+BlockSpec inputs of the same array whose index_map clamps at the image
+border — which simultaneously implements the edge behaviour: pool
+semantics match flax.linen.max_pool(window (3, 3), strides (2, 2),
+padding ((1, 1), (1, 1))) because the pooled input is post-ReLU
+(>= 0), so a clamped duplicate of a row/column already inside the
+window is exactly equivalent to -inf edge padding (a duplicated value
+never changes a max), and the kernel needs no masks and no
+program-id-dependent slicing.
 
 The reference keeps these as separate torch ops (resnet stem,
 /root/reference/src/models/backbone.py:159-174 via torchvision); there
 is no reference kernel to port — this is TPU-native new scope.
-
-Pool semantics match flax.linen.max_pool(window (3, 3), strides (2, 2),
-padding ((1, 1), (1, 1))): because the pooled input is post-ReLU
-(>= 0), clamping a window row/column to an in-range neighbour already
-inside the window is exactly equivalent to -inf edge padding (a
-duplicated in-window value never changes a max), which keeps the kernel
-free of masks.
 """
 from __future__ import annotations
 
@@ -58,44 +60,35 @@ def gn_scale_shift(x: Array, gamma: Array, beta: Array, num_groups: int,
     return scale, shift
 
 
-def _apply_pool_kernel(x_hbm, scale_ref, shift_ref, out_ref, xwin, sem, *,
-                       toh: int, h: int, w: int):
+def _apply_pool_kernel(xm_ref, xb_ref, xa_ref, scale_ref, shift_ref,
+                       out_ref, *, toh: int, w: int):
     """One (batch, output-row-tile) grid step.
 
-    Streams input rows [s, s + L) of batch element b into VMEM (L =
-    2*toh + 2, s = clip(2*r0 - 1, 0, H - L)), then normalize + ReLU +
-    3x3/s2 max-pool into the [1, toh, W/2, C] output block.
+    Blocks: xm [1, 2*toh, W, C] (the tile's own input rows), xb/xa
+    [1, 1, W, C] (border-clamped halo row before/after), scale/shift
+    [1, 1, C]; out [1, toh, W/2, C]. Window row k is input row
+    2*r0 - 1 + k (edge rows duplicated by the clamped index_map).
     """
-    bi = pl.program_id(0)
-    r0 = pl.program_id(1) * toh
-    L = 2 * toh + 2
-    s = jnp.clip(2 * r0 - 1, 0, h - L)
-    d = 2 * r0 - 1 - s                     # window row 0 offset in tile
-
-    dma = pltpu.make_async_copy(x_hbm.at[bi, pl.ds(s, L)], xwin, sem)
-    dma.start()
-    dma.wait()
-
-    scale = scale_ref[pl.ds(bi, 1)]        # [1, C] f32
-    shift = shift_ref[pl.ds(bi, 1)]
-    y = jnp.maximum(xwin[...].astype(jnp.float32) * scale[None, :, :]
+    win = jnp.concatenate([xb_ref[0], xm_ref[0], xa_ref[0]], axis=0)
+    scale = scale_ref[0]                   # [1, C] f32
+    shift = shift_ref[0]
+    y = jnp.maximum(win.astype(jnp.float32) * scale[None, :, :]
                     + shift[None, :, :], 0.0)              # [L, W, C]
 
     # Column max over {2w-1, 2w, 2w+1} (edge-clamped; see module note).
-    y_left = jnp.concatenate([y[:, :1], y[:, :w - 1]], axis=1)
-    z = jnp.maximum(jnp.maximum(y[:, 0:w:2], y[:, 1:w:2]),
-                    y_left[:, 0:w:2])                      # [L, W/2, C]
+    # Even/odd columns via reshape — Mosaic has no strided-slice
+    # lowering (y[:, 0:w:2] fails with "only 2D gather is supported").
+    L, _, c = y.shape
+    yr = y.reshape(L, w // 2, 2, c)
+    even = yr[:, :, 0]                                     # cols 2w
+    odd = yr[:, :, 1]                                      # cols 2w+1
+    odd_shift = jnp.concatenate([even[:, :1], odd[:, :-1]], axis=1)
+    z = jnp.maximum(jnp.maximum(even, odd), odd_shift)     # [L, W/2, C]
 
-    # Row max over {2j+d, 2j+d+1, 2j+d+2} in tile coordinates; duplicate
-    # one row at each end so index 1 + d + k + 2j stays in range for
-    # d in {-1 (top tile), 0, +1 (bottom tile)} — the duplicates are
-    # only ever read where the true window row coincides with them.
-    zsafe = jnp.concatenate([z[:1], z, z[-1:]], axis=0)    # [L+2, W/2, C]
-    rows = []
-    for k in range(3):
-        rk = jax.lax.dynamic_slice_in_dim(zsafe, 1 + d + k, 2 * toh,
-                                          axis=0)
-        rows.append(rk[0::2])                              # [toh, W/2, C]
+    # Row max over window rows {2j, 2j+1, 2j+2} (= input rows
+    # 2(r0+j)-1 + {0,1,2}): three static slices, keep even rows.
+    rows = [z[k:k + 2 * toh].reshape(toh, 2, w // 2, c)[:, 0]
+            for k in range(3)]
     out = jnp.maximum(jnp.maximum(rows[0], rows[1]), rows[2])
     out_ref[0] = out.astype(out_ref.dtype)
 
@@ -103,7 +96,7 @@ def _apply_pool_kernel(x_hbm, scale_ref, shift_ref, out_ref, xwin, sem, *,
 @partial(jax.jit, static_argnames=("num_groups", "eps", "toh", "interpret"))
 def groupnorm_relu_maxpool(x: Array, gamma: Array, beta: Array,
                            num_groups: int = 32, eps: float = 1e-5,
-                           toh: int = 20, interpret: bool = False) -> Array:
+                           toh: int = 10, interpret: bool = False) -> Array:
     """GroupNorm -> ReLU -> max_pool(3x3, s2, pad (1, 1)) fused.
 
     x: [B, H, W, C] with H % (2*toh) == 0 and W even. Returns
@@ -112,32 +105,43 @@ def groupnorm_relu_maxpool(x: Array, gamma: Array, beta: Array,
     b, h, w, c = x.shape
     assert h % (2 * toh) == 0 and w % 2 == 0, (h, w, toh)
     scale, shift = gn_scale_shift(x, gamma, beta, num_groups, eps)
-    L = 2 * toh + 2
+
+    def before_idx(bi, ti):
+        # Row-unit block index of the halo row above the tile, clamped
+        # at the top border (duplicate of row 0 — harmless, see module
+        # docstring).
+        return (bi, jnp.maximum(2 * toh * ti - 1, 0), 0, 0)
+
+    def after_idx(bi, ti):
+        return (bi, jnp.minimum(2 * toh * (ti + 1), h - 1), 0, 0)
 
     return pl.pallas_call(
-        partial(_apply_pool_kernel, toh=toh, h=h, w=w),
+        partial(_apply_pool_kernel, toh=toh, w=w),
         grid=(b, h // (2 * toh)),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # scale [B, C]
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # shift [B, C]
+            pl.BlockSpec((1, 2 * toh, w, c), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c), before_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c), after_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, toh, w // 2, c),
                                lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h // 2, w // 2, c), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((L, w, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(x, scale, shift)
+    )(x, x, x, scale[:, None, :], shift[:, None, :])
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def groupnorm_relu_maxpool_trainable(x: Array, gamma: Array, beta: Array,
                                      num_groups: int = 32, eps: float = 1e-5,
-                                     toh: int = 20) -> Array:
+                                     toh: int = 10) -> Array:
     """Differentiable wrapper: Pallas forward, XLA-reference backward.
 
     The kernel is an inference-path optimization; training steps that

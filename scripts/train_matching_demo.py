@@ -279,7 +279,12 @@ def main():
         maybe_save("superpoint", sp_params)
 
     # Fixed-k extractor sharing the trained net params.
-    sp = SuperPoint(max_keypoints=k, keypoint_threshold=0.001,
+    # keypoint_threshold 0: take the top-k cells by score outright. The
+    # round-4 12k-step detector is sharply confident on shape-like
+    # corners and near-zero elsewhere, so a 0.001 gate left only ~160
+    # valid keypoints on texture scenes and starved the GT assignment
+    # of the SG phase (5 GT matches/pair vs 98 ungated — measured).
+    sp = SuperPoint(max_keypoints=k, keypoint_threshold=0.0,
                     descriptor_dim=args.desc_dim)
     sp_full = {"params": {"net": sp_params["params"]}}
 

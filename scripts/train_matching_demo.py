@@ -254,21 +254,51 @@ def main():
         sp_start = int(state["step"])
         if sp_start:
             rng = np.random.default_rng(1000 + sp_start)
-        step = make_superpoint_joint_train_step(net, tx, lambda_desc=1.0)
+        if args.device_data:
+            # Homographic adaptation (round 4): the shapes-only detector
+            # measured 0.21 repeatability@3px on texture scenes; from
+            # 40% of the budget on, stable multi-view peaks of the
+            # CURRENT detector on the texture stream become pseudo-
+            # corner labels (training/superpoint.make_ha_labeler) so the
+            # detector learns the matcher stack's actual domain.
+            from oetr_tpu.training.superpoint import (
+                make_ha_labeler, make_superpoint_joint_ha_train_step)
+            ha_label = make_ha_labeler(net, sp_hw)
+            step_ha = make_superpoint_joint_ha_train_step(
+                net, tx, lambda_desc=1.0, lambda_ha=1.0)
+            ha_start = int(args.sp_steps * 0.4)
+        else:
+            step = make_superpoint_joint_train_step(net, tx,
+                                                    lambda_desc=1.0)
+        hc = sp_hw // 8
         for it in range(sp_start, args.sp_steps):
             imgs, corners, counts = synthetic_shapes_batch(
                 rng, args.sp_batch, sp_hw)
             labels = jnp.asarray(corners_to_cell_labels(
                 corners, (sp_hw, sp_hw), counts))
             im0, im1, H = pair_batch(args.sp_batch, it)
-            sp_params, opt, m = step(sp_params, opt, jnp.asarray(imgs),
-                                     labels, jnp.asarray(im0),
-                                     jnp.asarray(im1), jnp.asarray(H))
+            if args.device_data:
+                if it >= ha_start:
+                    hl = ha_label(sp_params, im0,
+                                  jax.random.fold_in(hp_base, 10 ** 6 + it))
+                    ha_w = jnp.float32(1.0)
+                else:
+                    hl = jnp.full((args.sp_batch, hc, hc), 64, jnp.int32)
+                    ha_w = jnp.float32(0.0)
+                sp_params, opt, m = step_ha(
+                    sp_params, opt, jnp.asarray(imgs), labels,
+                    jnp.asarray(im0), jnp.asarray(im1), jnp.asarray(H),
+                    hl, ha_w)
+            else:
+                sp_params, opt, m = step(sp_params, opt, jnp.asarray(imgs),
+                                         labels, jnp.asarray(im0),
+                                         jnp.asarray(im1), jnp.asarray(H))
             if it % 100 == 0:
                 det = float(m["det_loss"])
                 des = float(m["desc_loss"])
+                ha = float(m.get("ha_loss", 0.0))
                 log(f"SP step {it} det {det:.3f} desc {des:.3f} "
-                    f"({time.time() - t0:.0f}s)")
+                    f"ha {ha:.3f} ({time.time() - t0:.0f}s)")
                 if not (np.isfinite(det) and np.isfinite(des)):
                     raise RuntimeError(f"SP training diverged at {it}")
             if (it + 1) % seg_tick == 0 and (it + 1) < args.sp_steps:

@@ -247,7 +247,8 @@ def make_superpoint_joint_train_step(net, tx, lambda_desc: float = 1.0):
 
 
 def make_ha_labeler(net, hw: int, n_homo: int = 6, nms_radius: int = 4,
-                    score_thresh: float = 0.012, border: int = 4):
+                    max_cells: int = 96, score_floor: float = 1e-3,
+                    border: int = 4):
     """Homographic-adaptation pseudo-labels on arbitrary images.
 
     SuperPoint paper §5 (MagicPoint -> SuperPoint domain transfer): the
@@ -306,11 +307,21 @@ def make_ha_labeler(net, hw: int, n_homo: int = 6, nms_radius: int = 4,
         nmsed = remove_borders(simple_nms(mean, nms_radius), border)
 
         # Per-cell argmax -> 65-way labels (deterministic, no scatter).
+        # Threshold is per-image adaptive: a fixed cutoff on the
+        # homography-AVERAGED map starves labels (averaging dilutes
+        # peaks ~n_homo-fold and the shapes-trained detector scores
+        # textures low to begin with — 1-9 labeled cells/256 measured
+        # at 0.012); instead keep the top ``max_cells`` cells per image
+        # above a small absolute floor.
         hc = hw // 8
         cells = nmsed.reshape(b, hc, 8, hc, 8).transpose(0, 1, 3, 2, 4)
         cells = cells.reshape(b, hc, hc, 64)
-        labels = jnp.where(jnp.max(cells, -1) > score_thresh,
-                           jnp.argmax(cells, -1), 64).astype(jnp.int32)
+        cmax = jnp.max(cells, -1)                              # [B,hc,hc]
+        kth = jax.lax.top_k(cmax.reshape(b, -1),
+                            max_cells)[0][:, -1]               # [B]
+        thr = jnp.maximum(kth, score_floor)[:, None, None]
+        labels = jnp.where(cmax >= thr, jnp.argmax(cells, -1),
+                           64).astype(jnp.int32)
         return jax.lax.stop_gradient(labels)
 
     return jax.jit(label_fn)

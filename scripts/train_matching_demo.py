@@ -177,6 +177,17 @@ def main():
         path = os.path.abspath(os.path.join(args.ckpt_dir, name))
         ckpt.save(path, jax.tree.map(jnp.asarray, tree), force=True)
         ckpt.wait_until_finished()
+        # wait_until_finished alone is not enough before os.execv: the
+        # tmp->final rename can still be in flight on a background
+        # thread, and execv killed it mid-finalize (observed: a
+        # *.orbax-checkpoint-tmp orphan and a lost segment). Block until
+        # the final directory actually exists.
+        for _ in range(100):
+            if os.path.exists(path) and not os.path.exists(
+                    path + ".orbax-checkpoint-tmp"):
+                return
+            time.sleep(0.2)
+        raise RuntimeError(f"checkpoint finalize did not land: {path}")
 
     def restore_state(name, target):
         path = os.path.abspath(os.path.join(args.ckpt_dir, name))

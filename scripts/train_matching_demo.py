@@ -172,22 +172,39 @@ def main():
                 if args.max_steps_per_segment else 100)
 
     def save_state(name, tree):
+        """Overwrite-save that survives os.execv.
+
+        orbax's in-place force=True overwrite finalizes on a background
+        thread (observed races before the re-exec: an orphaned
+        *.orbax-checkpoint-tmp, then a FileExistsError from its own
+        rename). Save into a FRESH sibling directory instead, wait for
+        the finalize rename to land, then swap atomically ourselves.
+        """
         if ckpt is None:
             return
+        import shutil
         path = os.path.abspath(os.path.join(args.ckpt_dir, name))
-        ckpt.save(path, jax.tree.map(jnp.asarray, tree), force=True)
+        new = path + ".new"
+        for p in (new, new + ".orbax-checkpoint-tmp"):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        ckpt.save(new, jax.tree.map(jnp.asarray, tree))
         ckpt.wait_until_finished()
-        # wait_until_finished alone is not enough before os.execv: the
-        # tmp->final rename can still be in flight on a background
-        # thread, and execv killed it mid-finalize (observed: a
-        # *.orbax-checkpoint-tmp orphan and a lost segment). Block until
-        # the final directory actually exists.
-        for _ in range(100):
-            if os.path.exists(path) and not os.path.exists(
-                    path + ".orbax-checkpoint-tmp"):
-                return
+        for _ in range(150):
+            if os.path.exists(new) and not os.path.exists(
+                    new + ".orbax-checkpoint-tmp"):
+                break
             time.sleep(0.2)
-        raise RuntimeError(f"checkpoint finalize did not land: {path}")
+        else:
+            raise RuntimeError(f"checkpoint finalize did not land: {new}")
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(new, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def restore_state(name, target):
         path = os.path.abspath(os.path.join(args.ckpt_dir, name))

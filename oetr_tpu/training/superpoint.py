@@ -276,8 +276,8 @@ def make_ha_labeler(net, hw: int, n_homo: int = 6, nms_radius: int = 4,
             s, _ = net.apply(params, img)
             return s
 
-        acc = scores_of(images)
-        cnt = jnp.ones_like(acc)
+        acc = scores_of(images).astype(jnp.float32)
+        cnt = jnp.ones_like(acc, dtype=jnp.float32)
         gx, gy = jnp.meshgrid(u, u, indexing="xy")
 
         def body(carry, key):
@@ -299,7 +299,8 @@ def make_ha_labeler(net, hw: int, n_homo: int = 6, nms_radius: int = 4,
                 return jnp.where(ok, val, 0.0), ok.astype(sb.dtype)
 
             sv, ok = jax.vmap(unwarp)(s, Hs)
-            return (acc + sv, cnt + ok), None
+            return ((acc + sv).astype(jnp.float32),
+                    (cnt + ok).astype(jnp.float32)), None
 
         (acc, cnt), _ = jax.lax.scan(body, (acc, cnt),
                                      jax.random.split(rng, n_homo))

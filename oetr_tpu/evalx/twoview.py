@@ -117,7 +117,8 @@ def validation_error(kpts0: np.ndarray, kpts1: np.ndarray,
                                 jnp.asarray(K1), jax.random.key(rng_seed),
                                 thresh_px=thresh_px,
                                 num_hypotheses=num_hypotheses,
-                                lo_candidates=lo_candidates)
+                                lo_candidates=lo_candidates,
+                                use_5pt=True)
         if bool(res["ok"]):
             et, eR = pose_error_fn(jnp.asarray(T_0to1), res["R"], res["t"])
             err_t, err_R = float(et), float(eR)

@@ -178,5 +178,5 @@ def five_point_hypotheses(kpts0n, kpts1n, idx):
         cb,
         (jax.ShapeDtypeStruct((h * 10, 3, 3), jnp.float32),
          jax.ShapeDtypeStruct((h * 10,), jnp.bool_)),
-        p0, p1)
+        p0, p1, vmap_method="sequential")
     return E, valid

@@ -166,7 +166,7 @@ def refine_pose_sampson(R: Array, t: Array, kpts0n: Array, kpts1n: Array,
 def ransac_essential(kpts0n: Array, kpts1n: Array, valid: Array,
                      threshold: float, rng: Array,
                      num_hypotheses: int = 512, lo_candidates: int = 8,
-                     use_5pt: bool = True):
+                     use_5pt: bool | None = None):
     """Fixed-budget parallel LO-RANSAC for the essential matrix.
 
     Pipeline (all static shapes):
@@ -197,6 +197,12 @@ def ransac_essential(kpts0n: Array, kpts1n: Array, valid: Array,
       dict with E [3,3], R [3,3], t [3], inliers [N] bool,
       num_inliers [], score [].
     """
+    if use_5pt is None:
+        # The 5-point stage runs a host eigensolve behind pure_callback;
+        # the tunneled axon TPU runtime does not support host callbacks,
+        # so it only defaults on for host (CPU) backends. The CPU-pinned
+        # eval path (evalx/twoview.py) opts in explicitly.
+        use_5pt = jax.default_backend() == "cpu"
     n = kpts0n.shape[0]
     thresh_sq = jnp.asarray(threshold, kpts0n.dtype) ** 2
     rng1, rng2, rng5 = jax.random.split(rng, 3)
@@ -402,7 +408,8 @@ def decompose_homography(H: Array):
 def estimate_pose(kpts0: Array, kpts1: Array, valid: Array, K0: Array,
                   K1: Array, rng: Array, thresh_px: float = 1.0,
                   num_hypotheses: int = 512, lo_candidates: int = 8,
-                  planar_fallback: bool = True, use_5pt: bool = True):
+                  planar_fallback: bool = True,
+                  use_5pt: bool | None = None):
     """End-to-end pose estimation mirroring the reference's estimate_pose
     (dloc/evaluate/utils/evaluation.py:209-240): normalize by intrinsics,
     threshold = thresh_px / f_mean (same duplicated-index mean of

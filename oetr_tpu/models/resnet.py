@@ -136,10 +136,11 @@ class FusedGNPool(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         h = x.shape[1]
-        # Largest output-row tile <= 10 dividing the pooled height
-        # (larger tiles at stem size trip a Mosaic compile failure on
-        # the tunneled toolchain; toh=10 measured equivalent).
-        toh = next(t for t in range(min(10, h // 2 - 1), 0, -1)
+        # Largest output-row tile <= 5 dividing the pooled height: the
+        # tunneled Mosaic toolchain fails to compile toh >= 8 at stem
+        # width (PERF.md, round 4), and toh=5 is what the measurement
+        # actually ran with.
+        toh = next(t for t in range(min(5, h // 2 - 1), 0, -1)
                    if (h // 2) % t == 0)
         return groupnorm_relu_maxpool_trainable(
             x, scale, bias, self.num_groups, self.epsilon, toh)

@@ -14,7 +14,10 @@ overlap_features.py:215-244):
   * degenerate box (any side < min_box_size) -> full image;
   * optional overlap-scale gate (pragueparks rule) -> full image;
   * < fallback_min_matches matches -> host triggers a full-image re-run
-    (second batched call) and keeps the better result per pair.
+    for the FAILING PAIRS ONLY, compacted into a fixed-size retry
+    bucket (cfg.retry_batch) so one low-match pair costs ~R/B of a
+    batch instead of a full second pass (round 4 measured the
+    full-batch retry at 30% of pipeline throughput for 1 pair in 8).
 
 Everything is batched over pairs: one jit compile per (canvas, K) bucket,
 vmap/shard-ready along the batch axis.
@@ -42,9 +45,52 @@ class PipelineConfig:
     min_box_size: float = 1.0                   # degenerate-box gate (evaluation.py:100)
     scale_gate: float = 0.0                     # >0: require overlap score > gate
     fallback_min_matches: int = 30              # overlap_features.py:219
+    retry_batch: int = 2                        # fixed retry-bucket size
+                                                # (0 = full-batch re-run)
     box_source: str = "tlbr"                    # "tlbr" | "heatmap" (models.oetr.decode_boxes)
     box_q: float = 0.1                          # heatmap decode quantile
     box_pad: float = 0.2                        # heatmap decode padding
+
+
+def _bucketed_retry(jit_plain, out, image0, image1, full_hw0, full_hw1,
+                    min_matches: int, retry_batch: int):
+    """Fallback rule 2 with bounded cost (ref: overlap_features.py:
+    215-244 — '< 30 matches -> rerun without overlap').
+
+    Failing pairs are compacted into chunks of ``retry_batch`` (a
+    static shape — one extra executable, compiled once and persisted)
+    and re-run full-image; results are scattered back per pair. With
+    R=2 and one failing pair in a batch of 8, the retry costs ~R/B of
+    a batch instead of the full second pass round 4 measured at 30%
+    of throughput. ``retry_batch=0`` restores the full-batch re-run.
+    """
+    n = np.asarray(out["num_matches"])
+    need = (n < min_matches) & np.asarray(out["used_overlap"])
+    if not need.any():
+        return out
+    b = image0.shape[0]
+    r = b if retry_batch <= 0 else min(retry_batch, b)
+    idx = np.nonzero(need)[0]
+    pad = (-len(idx)) % r
+    idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)]).astype(np.int32)
+
+    chunks = []
+    z = jnp.zeros((r, 1, 1, 3), jnp.float32)
+    s = jnp.ones((r, 2), jnp.float32)
+    for c in range(0, len(idx_p), r):
+        sl = jnp.asarray(idx_p[c:c + r])
+        chunks.append(jit_plain(image0[sl], image1[sl], full_hw0[sl],
+                                full_hw1[sl], z, z, s, s))
+
+    sel = jnp.asarray(idx)
+    merged = dict(out)
+    for key, v in out.items():
+        if v is None or chunks[0].get(key) is None:
+            continue
+        pv = (chunks[0][key] if len(chunks) == 1
+              else jnp.concatenate([ch[key] for ch in chunks], axis=0))
+        merged[key] = v.at[sel].set(pv[:len(idx)].astype(v.dtype))
+    return merged
 
 
 def overlap_scale_score(bbox0: Array, bbox1: Array) -> Array:
@@ -194,28 +240,10 @@ class SparsePipeline:
                                    z, z, s, s)
         out = self._jit_overlap(image0, image1, full_hw0, full_hw1,
                                 oetr_img0, oetr_img1, scales0, scales1)
-
-        # Fallback rule 2: too few matches -> full-image re-run for the
-        # failing pairs (host-side decision, ref: overlap_features.py:215-244).
-        n = np.asarray(out["num_matches"])
-        need_retry = (n < self.cfg.fallback_min_matches) & np.asarray(
-            out["used_overlap"])
-        if need_retry.any():
-            z = jnp.zeros((image0.shape[0], 1, 1, 3), jnp.float32)
-            s = jnp.ones((image0.shape[0], 2), jnp.float32)
-            plain = self._jit_plain(image0, image1, full_hw0, full_hw1,
-                                    z, z, s, s)
-            sel = jnp.asarray(need_retry)
-
-            def pick(a, b):
-                if a is None:
-                    return None
-                extra = (1,) * (a.ndim - 1)
-                return jnp.where(sel.reshape(-1, *extra), b, a)
-
-            out = jax.tree.map(pick, out, plain)
-            out["used_overlap"] = out["used_overlap"] & (~sel)
-        return out
+        return _bucketed_retry(self._jit_plain, out, image0, image1,
+                               full_hw0, full_hw1,
+                               self.cfg.fallback_min_matches,
+                               self.cfg.retry_batch)
 
 
 class DensePipeline:
@@ -281,26 +309,10 @@ class DensePipeline:
                                    z, z, s, s)
         out = self._jit_run(image0, image1, full_hw0, full_hw1,
                             oetr_img0, oetr_img1, scales0, scales1)
-
         # Fallback rule 2, dense variant: the reference applies the
         # "< 30 matches -> re-run without overlap" retry to ALL matchers
         # (overlap_features.py:215-244), not just sparse ones.
-        n = np.asarray(out["num_matches"])
-        need_retry = (n < self.cfg.fallback_min_matches) & np.asarray(
-            out["used_overlap"])
-        if need_retry.any():
-            z = jnp.zeros((image0.shape[0], 1, 1, 3), jnp.float32)
-            s = jnp.ones((image0.shape[0], 2), jnp.float32)
-            plain = self._jit_plain(image0, image1, full_hw0, full_hw1,
-                                    z, z, s, s)
-            sel = jnp.asarray(need_retry)
-
-            def pick(a, b):
-                if a is None:
-                    return None
-                extra = (1,) * (a.ndim - 1)
-                return jnp.where(sel.reshape(-1, *extra), b, a)
-
-            out = jax.tree.map(pick, out, plain)
-            out["used_overlap"] = out["used_overlap"] & (~sel)
-        return out
+        return _bucketed_retry(self._jit_plain, out, image0, image1,
+                               full_hw0, full_hw1,
+                               self.cfg.fallback_min_matches,
+                               self.cfg.retry_batch)

@@ -37,6 +37,13 @@ import tempfile
 import time
 import types
 
+# How far our pose AUC may sit ABOVE the reference's cv2-RANSAC AUC
+# before the crosscheck fails (absolute AUC fraction). The measured
+# legitimate estimator lift is ~0.19-0.20 at AUC@5 (BASELINE.md §5);
+# 0.35 leaves headroom for RANSAC noise while still catching
+# metric-inflation bugs (which overshoot toward ~1 - ref).
+UPPER_AUC_BUDGET = 0.35
+
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
@@ -275,11 +282,17 @@ def run_imc_crosscheck(args, root):
                "matching_score": round(ms[ti], 3),
                "mAA@10": round(mAA[ti], 2)}
 
-    # One-sided (see megadepth note): only penalize falling below cv2.
+    # Asymmetric budgets (ADVICE r4): tight below cv2 (falling under the
+    # reference estimator is a regression), generous above it (ours
+    # measurably beats cv2 by up to ~20 points — but an AUC *inflation*
+    # bug would blow well past UPPER_AUC_BUDGET and still fail).
     d_auc = max((a - b) / 100.0
                 for a, b in zip(ref_row["aucs"], our_row["aucs"]))
+    d_auc_up = max((b - a) / 100.0
+                   for a, b in zip(ref_row["aucs"], our_row["aucs"]))
     d_mAA = (ref_row["mAA@10"] - our_row["mAA@10"]) / 100.0
     ok = bool(d_auc <= args.auc_tol and d_mAA <= args.auc_tol
+              and d_auc_up <= UPPER_AUC_BUDGET
               and abs(ref_row["precision"] - our_row["precision"]) < 0.5
               and abs(ref_row["matching_score"] - our_row["matching_score"])
               < 0.5)
@@ -513,14 +526,18 @@ def main():
     our_aucs, our_prec, our_ms = our_megadepth.benchmark_results(
         pairs_txt, results, pairwise=True)
 
-    # One-sided AUC budget: the two RANSACs differ, and ours (5-point +
-    # DEGENSAC + MSAC LO, round 4) measurably exceeds the reference's cv2
-    # path — protocol compatibility only requires that we are not
-    # mysteriously BELOW it; the deterministic metrics are exact-checked.
+    # Asymmetric AUC budgets: the two RANSACs differ, and ours (5-point
+    # + DEGENSAC + MSAC LO, round 4) measurably exceeds the reference's
+    # cv2 path, so below-cv2 is tight (args.auc_tol) while above-cv2
+    # gets a generous-but-finite budget (UPPER_AUC_BUDGET) — a metric-
+    # inflation bug would overshoot it; the deterministic metrics are
+    # exact-checked either way.
     d_auc = max((a - b) / 100.0 for a, b in zip(ref_aucs, our_aucs))
+    d_auc_up = max((b - a) / 100.0 for a, b in zip(ref_aucs, our_aucs))
     d_prec = abs(ref_prec - our_prec) / 100.0
     d_ms = abs(ref_ms - our_ms) / 100.0
-    ok = bool(d_auc <= args.auc_tol and d_prec <= 5e-3 and d_ms <= 5e-3)
+    ok = bool(d_auc <= args.auc_tol and d_auc_up <= UPPER_AUC_BUDGET
+              and d_prec <= 5e-3 and d_ms <= 5e-3)
     all_ok &= ok
     result["megadepth"] = {
         "matches_per_pair": round(stats["matches_per_pair"], 1),

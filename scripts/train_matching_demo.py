@@ -208,7 +208,14 @@ def main():
 
     def restore_state(name, target):
         path = os.path.abspath(os.path.join(args.ckpt_dir, name))
-        if ckpt is not None and os.path.exists(path):
+        if ckpt is None:
+            return target
+        # A kill between save_state's two renames leaves only
+        # path+'.old'; recover from it rather than restarting at step 0.
+        if not os.path.exists(path) and os.path.exists(path + ".old"):
+            log(f"recovering segment state {name} from .old")
+            os.rename(path + ".old", path)
+        if os.path.exists(path):
             log(f"restoring segment state {name}")
             return ckpt.restore(path, target)
         return target
@@ -535,6 +542,54 @@ def main():
                 {key: np.asarray(v[j]) for key, v in e0.items()},
                 {key: np.asarray(v[j]) for key, v in e1.items()}))
 
+    def repeatability(kp_of_pair, radius=3.0):
+        """Detector repeatability@radius under the known depth+pose warp.
+
+        Fraction of image0 detections that, once warped into image1,
+        have an image1 detection within ``radius`` px (both directions
+        averaged; only warps landing inside the frame count). This is
+        the number VERDICT r4 identified as the cap on every downstream
+        matcher table (0.21-0.37 for the shapes-only detector).
+        """
+        fracs = []
+        for pi, it_ in enumerate(items):
+            xy0, v0, xy1, v1 = kp_of_pair(pi, it_)
+            T10 = it_["pose2"] @ np.linalg.inv(it_["pose1"])
+            for (xa, va, xb, vb, Tab, da, Ka, Kb) in (
+                    (xy0, v0, xy1, v1, T10, it_["depth1"],
+                     it_["intrinsics1"], it_["intrinsics2"]),
+                    (xy1, v1, xy0, v0, np.linalg.inv(T10), it_["depth2"],
+                     it_["intrinsics2"], it_["intrinsics1"])):
+                w, ok = warp_points_via_depth(
+                    jnp.asarray(xa), da, Ka, Tab, Kb)
+                w, ok = np.asarray(w), np.asarray(ok) & np.asarray(va)
+                inb = (ok & (w[:, 0] >= 0) & (w[:, 0] <= hw - 1)
+                       & (w[:, 1] >= 0) & (w[:, 1] <= hw - 1))
+                if inb.sum() == 0:
+                    continue
+                d = np.linalg.norm(
+                    w[inb][:, None] - np.asarray(xb)[None], axis=-1)
+                d[:, ~np.asarray(vb)] = 1e9
+                fracs.append(float((d.min(1) < radius).mean()))
+        return round(float(np.mean(fracs)), 4)
+
+    def sp_kp(pi, it_):
+        e0, e1 = val_feats[pi]
+        return (e0["keypoints"], e0["valid"], e1["keypoints"], e1["valid"])
+
+    _sift_cache = {}
+
+    def sift_kp(pi, it_):
+        if pi not in _sift_cache:
+            g0 = cv2.cvtColor((it_["image1"] * 255).astype(np.uint8),
+                              cv2.COLOR_RGB2GRAY)
+            g1 = cv2.cvtColor((it_["image2"] * 255).astype(np.uint8),
+                              cv2.COLOR_RGB2GRAY)
+            xy0, _, v0 = sift_keypoints(g0, k)[:3]
+            xy1, _, v1 = sift_keypoints(g1, k)[:3]
+            _sift_cache[pi] = (xy0, v0, xy1, v1)
+        return _sift_cache[pi]
+
     def score(run_pair):
         errors, precisions, n_match = [], [], []
         for pi, it_ in enumerate(items):
@@ -546,7 +601,15 @@ def main():
             errors.append(max(res["error_t"], res["error_R"]))
             precisions.append(res["precision"])
         aucs = pose_auc(errors, [5, 10, 20])
+        # Bootstrap spread over pairs (VERDICT r4 weak #7: n=40 margins
+        # were inside sampling noise; report sigma so gates are honest).
+        bs = np.random.default_rng(7)
+        errs = np.asarray(errors)
+        sig = float(np.std([pose_auc(errs[bs.integers(0, len(errs),
+                                                      len(errs))], [5])[0]
+                            for _ in range(200)]))
         return {"auc@5": round(float(aucs[0]), 4),
+                "auc@5_sigma": round(sig, 4),
                 "auc@10": round(float(aucs[1]), 4),
                 "auc@20": round(float(aucs[2]), 4),
                 "precision": round(float(np.mean(precisions)), 4),
@@ -617,6 +680,9 @@ def main():
 
     rows = {"sift_nn": score(sift_nn), "sp_nn": score(sp_nn),
             "sp_sg": score(sp_sg)}
+    rep = {"superpoint": repeatability(sp_kp),
+           "sift": repeatability(sift_kp)}
+    log(f"repeatability@3px: sp {rep['superpoint']} sift {rep['sift']}")
 
     # Held-out GT-assignment quality + the SP+SG >= SP+NN quality gate
     # (round-3 shipped an SG that *subtracted* value from its extractor;
@@ -656,6 +722,7 @@ def main():
         "sp_steps": args.sp_steps, "sg_steps": args.sg_steps,
         "hw": hw, "topk": k, "val_pairs": args.val_pairs,
         **rows,
+        "repeatability@3px": rep,
         "sg_beats_nn_gate": bool(gate),
         "wall_s": round(time.time() - t0, 1),
     }))

@@ -191,3 +191,74 @@ def test_dense_fallback_rule2_retries_full_image(rng):
                                np.asarray(plain["mkpts0"]), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(guided["valid"]),
                                   np.asarray(plain["valid"]))
+
+
+@pytest.mark.slow
+def test_bucketed_retry_partial_batch(pipeline, rng):
+    """Round-5 bucketed retry (_bucketed_retry): with a batch where only
+    SOME pairs fail the match-count gate, the failing pairs must equal
+    the plain full-image result while passing pairs keep their guided
+    output untouched — and the retry runs at the fixed bucket shape."""
+    import dataclasses
+
+    cfg = OETRConfig(
+        backbone=BackboneConfig(depth=18, stop_layer="layer3", last_layer=256),
+        neck=NeckConfig(d_model=64, nhead=4, num_layers=1,
+                        num_decoder_layers=1, max_shape=(4, 4)))
+    oetr = build_oetr(cfg)
+    od = jnp.zeros((1, 64, 64, 3))
+    oetr_params = oetr.init(jax.random.key(5), od, od)
+    pipeline.oetr = oetr
+    pipeline.oetr_params = oetr_params
+    old_cfg = pipeline.cfg
+    try:
+        imgs = [_textured_image(rng) for _ in range(3)]
+        ps = [prepare_image(im, (96, 96), (64, 64)) for im in imgs]
+        batch = batch_pairs(ps, ps)
+        args = (jnp.asarray(batch["image0"]), jnp.asarray(batch["image1"]),
+                jnp.asarray(batch["full_hw0"]),
+                jnp.asarray(batch["full_hw1"]))
+        oargs = (jnp.asarray(batch["oetr_img0"]),
+                 jnp.asarray(batch["oetr_img1"]),
+                 jnp.asarray(batch["scales0"]),
+                 jnp.asarray(batch["scales1"]))
+
+        # Pass 1: no retry — the guided baseline and per-pair counts.
+        pipeline.cfg = dataclasses.replace(old_cfg, fallback_min_matches=0,
+                                           retry_batch=2)
+        base = pipeline(*args, *oargs, with_overlap=True)
+        counts = np.asarray(base["num_matches"])
+        used = np.asarray(base["used_overlap"])
+        assert used.all(), "test premise: all pairs took the overlap path"
+        # Threshold chosen so at least one pair fails and one passes.
+        thr = int(np.sort(counts)[len(counts) // 2])
+        fails = counts < thr
+        if not (fails.any() and (~fails).any()):
+            thr = int(counts.min()) + 1
+            fails = counts < thr
+        assert fails.any() and (~fails).any(), f"counts all equal: {counts}"
+
+        pipeline.cfg = dataclasses.replace(old_cfg,
+                                           fallback_min_matches=thr,
+                                           retry_batch=2)
+        out = pipeline(*args, *oargs, with_overlap=True)
+        plain = pipeline(*args, with_overlap=False)
+
+        for i in range(3):
+            if fails[i]:
+                np.testing.assert_allclose(
+                    np.asarray(out["keypoints0"][i]),
+                    np.asarray(plain["keypoints0"][i]), atol=1e-5)
+                np.testing.assert_array_equal(
+                    np.asarray(out["matches0"][i]),
+                    np.asarray(plain["matches0"][i]))
+                assert not bool(np.asarray(out["used_overlap"])[i])
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(out["matches0"][i]),
+                    np.asarray(base["matches0"][i]))
+                assert bool(np.asarray(out["used_overlap"])[i])
+    finally:
+        pipeline.cfg = old_cfg
+        pipeline.oetr = None
+        pipeline.oetr_params = None

@@ -82,7 +82,8 @@ class D2Net(nn.Module):
         score = jax.image.resize(score_c, (b, hc * 8, wc * 8), "bilinear")
         nmsed = simple_nms(score, self.nms_radius)
         xy, s, valid = topk_keypoints(nmsed, self.max_keypoints,
-                                      self.keypoint_threshold)
+                                      self.keypoint_threshold,
+                                      nms_tile=self.nms_radius + 1)
         descs = sample_descriptors(desc_map, xy, stride=8)
         return {"keypoints": xy, "scores": s, "valid": valid,
                 "descriptors": descs, "dense_scores": score}

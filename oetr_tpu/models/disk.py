@@ -76,7 +76,8 @@ class DISK(nn.Module):
         heat = out[..., -1].astype(jnp.float32)
         nmsed = simple_nms(heat, self.window // 2)
         xy, scores, valid = topk_keypoints(nmsed, self.max_keypoints,
-                                           self.keypoint_threshold)
+                                           self.keypoint_threshold,
+                                           nms_tile=self.window // 2 + 1)
         descs = sample_descriptors(desc_map, xy, stride=1)
         return {"keypoints": xy, "scores": scores, "valid": valid,
                 "descriptors": descs, "dense_scores": heat}

@@ -70,7 +70,8 @@ class R2D2(nn.Module):
             reliability > self.reliability_thr, 1.0, 0.0)
         nmsed = simple_nms(score, self.nms_radius)
         xy, s, valid = topk_keypoints(nmsed, self.max_keypoints,
-                                      self.repeatability_thr)
+                                      self.repeatability_thr,
+                                      nms_tile=self.nms_radius + 1)
         descs = sample_descriptors(desc_map, xy, stride=1)
         return {"keypoints": xy, "scores": s, "valid": valid,
                 "descriptors": descs, "dense_scores": score,

@@ -119,7 +119,8 @@ class SuperPoint(nn.Module):
         nmsed = simple_nms(scores, self.nms_radius)
         nmsed = remove_borders(nmsed, self.border)
         xy, kp_scores, valid = topk_keypoints(
-            nmsed, self.max_keypoints, self.keypoint_threshold)
+            nmsed, self.max_keypoints, self.keypoint_threshold,
+            nms_tile=self.nms_radius + 1)
         if self.subpixel:
             xy = refine_keypoints(scores, xy)
         descs = sample_descriptors(desc_map, xy, stride=8)

@@ -15,10 +15,19 @@ Array = jnp.ndarray
 
 
 def _maxpool2d(x: Array, radius: int) -> Array:
-    """Max pool with window (2r+1) stride 1, SAME padding. x: [B, H, W]."""
+    """Max pool with window (2r+1) stride 1, SAME padding. x: [B, H, W].
+
+    Separable: max is associative, so the 2-D window factors exactly
+    into a row pass then a column pass — 2(2r+1) comparisons per pixel
+    instead of (2r+1)^2 and better VPU utilization (round 5;
+    superpoint_select measured at 36% of its memory SoL with the
+    monolithic window, PERF.md).
+    """
     k = 2 * radius + 1
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, k), (1, 1, 1), "SAME")
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, k, k), (1, 1, 1), "SAME")
+        x, -jnp.inf, jax.lax.max, (1, k, 1), (1, 1, 1), "SAME")
 
 
 def simple_nms(scores: Array, radius: int, iterations: int = 2) -> Array:
@@ -49,17 +58,50 @@ def remove_borders(scores: Array, border: int) -> Array:
     return jnp.where(keep[None], scores, 0.0)
 
 
-def topk_keypoints(scores: Array, k: int, threshold: float = 0.0):
+def topk_keypoints(scores: Array, k: int, threshold: float = 0.0,
+                   nms_tile: int = 0):
     """Static top-k keypoints from a dense score map.
 
     Args:
       scores: [B, H, W] (post-NMS).
       k: fixed keypoint budget.
       threshold: minimum score (below -> marked invalid).
+      nms_tile: if > 1, the map is known to be NMS-suppressed with
+        radius >= nms_tile - 1, so any nms_tile x nms_tile tile holds at
+        most one positive survivor (two points in one tile are within
+        Chebyshev radius of each other). The top-k then runs on the
+        tile-max candidate set — H*W/tile^2 entries instead of H*W, a
+        ~25x smaller sort at the SuperPoint default radius 4 (round 5:
+        the full-map lax.top_k was the select stage's 36%-of-SoL cost,
+        PERF.md). Exact up to tie order on equal-score plateaus (where
+        it keeps at most one duplicate per tile — strictly better
+        keypoints). Falls back to the dense path when the candidate set
+        would be smaller than k.
     Returns:
       xy [B, k, 2] float (x, y) pixel coords, score [B, k], valid [B, k].
     """
     b, h, w = scores.shape
+    if nms_tile and nms_tile > 1:
+        t = nms_tile
+        ht, wt = -(-h // t), -(-w // t)
+        if ht * wt >= k:
+            s = jnp.pad(scores, ((0, 0), (0, ht * t - h), (0, wt * t - w)),
+                        constant_values=-jnp.inf)
+            s = s.reshape(b, ht, t, wt, t).transpose(0, 1, 3, 2, 4)
+            s = s.reshape(b, ht * wt, t * t)
+            cmax = jnp.max(s, axis=-1)
+            carg = jnp.argmax(s, axis=-1)
+            vals, cidx = jax.lax.top_k(cmax, k)
+            within = jnp.take_along_axis(carg, cidx, axis=1)
+            ys = (cidx // wt * t + within // t).astype(jnp.float32)
+            xs = (cidx % wt * t + within % t).astype(jnp.float32)
+            xy = jnp.stack([xs, ys], axis=-1)
+            valid = (vals > threshold) & (xs < w) & (ys < h)
+            # Pad slots carry -inf scores; report them as 0 like the
+            # dense path's empty cells.
+            vals = jnp.maximum(vals, 0.0)
+            xy = jnp.where(valid[..., None], xy, 0.0)
+            return xy, vals, valid
     flat = scores.reshape(b, h * w)
     vals, idx = jax.lax.top_k(flat, k)
     ys = (idx // w).astype(jnp.float32)

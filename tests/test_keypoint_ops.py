@@ -108,3 +108,31 @@ def test_refine_keypoints_recovers_subpixel_peak():
     assert abs(refined[1] - true[1]) < 0.35, refined
     # Never leaves the cell.
     assert abs(refined[0] - 14.0) <= 0.5 and abs(refined[1] - 10.0) <= 0.5
+
+
+def test_tiled_topk_matches_dense_on_nmsed_map():
+    """Round-5 tiled top-k (nms_tile): on an NMS-suppressed map the
+    tile-reduced candidate set must select exactly the dense top-k
+    (same coords, scores, validity)."""
+    rng = np.random.default_rng(11)
+    s = jnp.asarray(rng.uniform(0, 1, (2, 96, 96)).astype(np.float32))
+    nmsed = remove_borders(simple_nms(s, radius=4), 4)
+    xy_d, v_d, ok_d = topk_keypoints(nmsed, 64, 0.0)
+    xy_t, v_t, ok_t = topk_keypoints(nmsed, 64, 0.0, nms_tile=5)
+    np.testing.assert_array_equal(np.asarray(ok_d), np.asarray(ok_t))
+    sel = np.asarray(ok_d)
+    np.testing.assert_allclose(np.asarray(v_d)[sel], np.asarray(v_t)[sel],
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(xy_d)[sel],
+                                  np.asarray(xy_t)[sel])
+
+
+def test_tiled_topk_small_map_falls_back():
+    """Candidate set smaller than k -> dense path (identical result)."""
+    rng = np.random.default_rng(12)
+    s = jnp.asarray(rng.uniform(0, 1, (1, 16, 16)).astype(np.float32))
+    nmsed = simple_nms(s, radius=4)
+    xy_d, v_d, ok_d = topk_keypoints(nmsed, 32, 0.0)
+    xy_t, v_t, ok_t = topk_keypoints(nmsed, 32, 0.0, nms_tile=5)
+    np.testing.assert_array_equal(np.asarray(xy_d), np.asarray(xy_t))
+    np.testing.assert_array_equal(np.asarray(ok_d), np.asarray(ok_t))

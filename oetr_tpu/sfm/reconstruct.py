@@ -128,6 +128,7 @@ def reconstruct(keypoints: list[np.ndarray],
                 ba_iters: int = 15, cg_iters: int = 40,
                 huber_delta: float = 4.0,
                 max_reproj_px: float = 8.0,
+                rounds: int = 1,
                 axis_name: str | None = None) -> dict:
     """Triangulate tracks and bundle-adjust cameras + points.
 
@@ -136,6 +137,11 @@ def reconstruct(keypoints: list[np.ndarray],
       K: [C, 3, 3] per-image intrinsics.
       cams_init: [C, 6] world->camera (so3 log, t) initial poses (from
         two-view chains, priors, or noisy odometry).
+      rounds: BA rounds; between rounds every track is RE-triangulated
+        from the refined cameras and the validity gate re-evaluated
+        (COLMAP's retriangulation pass) — from a noisy initialization
+        the first triangulation mis-places points and a single-round
+        gate would discard their observations forever.
 
     Returns dict with cams [C, 6], pts [P, 3], tracks, point_valid [P],
     cost_history, and the flat observation arrays used.
@@ -145,10 +151,8 @@ def reconstruct(keypoints: list[np.ndarray],
         raise ValueError("no tracks survived — not enough matches")
 
     cam_tbl, uv_tbl, valid_tbl = _tracks_to_view_arrays(tracks, max_views)
-    cams0 = jnp.asarray(cams_init, jnp.float32)
     Kj = jnp.asarray(K, jnp.float32)
-    pts0 = triangulate_points(cams0[cam_tbl], Kj[cam_tbl],
-                              jnp.asarray(uv_tbl), jnp.asarray(valid_tbl))
+    uv_j, tbl_j = jnp.asarray(uv_tbl), jnp.asarray(valid_tbl)
 
     def per_track_max_err(cams, pts):
         r = residuals(cams, pts, Kj, jnp.asarray(tracks.obs_cam),
@@ -159,26 +163,31 @@ def reconstruct(keypoints: list[np.ndarray],
         np.maximum.at(mx, tracks.obs_pt, err)
         return mx
 
-    # Pre-BA gate is loose (4x): init poses are noisy, so only gross
-    # mis-triangulations (wrong matches, near-degenerate rays) go; the
-    # strict filter runs after optimization, as in COLMAP.
-    point_valid = per_track_max_err(cams0, pts0) < 4.0 * max_reproj_px
-    obs_valid = point_valid[tracks.obs_pt]
+    cams = jnp.asarray(cams_init, jnp.float32)
+    history = []
+    for r in range(max(1, rounds)):
+        pts = triangulate_points(cams[cam_tbl], Kj[cam_tbl], uv_j, tbl_j)
+        # Pre-BA gate is loose (4x): init poses are noisy, so only gross
+        # mis-triangulations (wrong matches, near-degenerate rays) go;
+        # the strict filter runs after optimization, as in COLMAP.
+        point_valid = per_track_max_err(cams, pts) < 4.0 * max_reproj_px
+        obs_valid = point_valid[tracks.obs_pt]
+        out = bundle_adjust(
+            cams, pts, Kj,
+            jnp.asarray(tracks.obs_cam), jnp.asarray(tracks.obs_pt),
+            jnp.asarray(tracks.obs_uv), jnp.asarray(obs_valid),
+            iters=ba_iters, cg_iters=cg_iters, huber_delta=huber_delta,
+            axis_name=axis_name)
+        cams, pts = out["cams"], out["pts"]
+        history.append(np.asarray(out["cost_history"]))
 
-    out = bundle_adjust(
-        cams0, pts0, Kj,
-        jnp.asarray(tracks.obs_cam), jnp.asarray(tracks.obs_pt),
-        jnp.asarray(tracks.obs_uv), jnp.asarray(obs_valid),
-        iters=ba_iters, cg_iters=cg_iters, huber_delta=huber_delta,
-        axis_name=axis_name)
-
-    point_valid &= per_track_max_err(out["cams"], out["pts"]) < max_reproj_px
+    point_valid &= per_track_max_err(cams, pts) < max_reproj_px
 
     return {
-        "cams": np.asarray(out["cams"]),
-        "pts": np.asarray(out["pts"]),
+        "cams": np.asarray(cams),
+        "pts": np.asarray(pts),
         "point_valid": point_valid,
-        "cost_history": np.asarray(out["cost_history"]),
+        "cost_history": np.concatenate(history),
         "tracks": tracks,
     }
 

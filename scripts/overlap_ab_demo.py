@@ -266,13 +266,28 @@ def main():
     items = [val_ds[i] for i in range(len(val_ds))]
     img1 = jnp.asarray(np.stack([it_["image1"] for it_ in items]))
     img2 = jnp.asarray(np.stack([it_["image2"] for it_ in items]))
-    out = jax.jit(lambda p, a, b: model.apply(p, a, b, deterministic=True))(
-        state.params, img1, img2)
+    # Chunked apply: round-5 n>=200 val sets no longer fit the model's
+    # activation memory in one batch; one fixed-shape executable over
+    # padded chunks keeps compiles bounded.
     from oetr_tpu.models.oetr import decode_boxes
-    d1, d2 = decode_boxes(out, (hw, hw), (hw, hw), source=args.box_source,
-                          q=args.box_q, pad=args.box_pad)
-    pred1 = np.asarray(d1, np.float64)
-    pred2 = np.asarray(d2, np.float64)
+    CH = 40
+    fwd = jax.jit(lambda p, a, b: model.apply(p, a, b, deterministic=True))
+    d1s, d2s = [], []
+    for s in range(0, len(items), CH):
+        a = img1[s:s + CH]
+        b = img2[s:s + CH]
+        pad = CH - a.shape[0]
+        if pad:
+            a = jnp.concatenate([a, jnp.tile(a[-1:], (pad, 1, 1, 1))])
+            b = jnp.concatenate([b, jnp.tile(b[-1:], (pad, 1, 1, 1))])
+        out = fwd(state.params, a, b)
+        c1, c2 = decode_boxes(out, (hw, hw), (hw, hw),
+                              source=args.box_source, q=args.box_q,
+                              pad=args.box_pad)
+        d1s.append(np.asarray(c1)[:CH - pad if pad else CH])
+        d2s.append(np.asarray(c2)[:CH - pad if pad else CH])
+    pred1 = np.concatenate(d1s).astype(np.float64)
+    pred2 = np.concatenate(d2s).astype(np.float64)
     gt1 = np.stack([it_["overlap_box1"] for it_ in items]).astype(np.float64)
     gt2 = np.stack([it_["overlap_box2"] for it_ in items]).astype(np.float64)
     iou1 = np.asarray(bbox_overlaps_aligned(jnp.asarray(pred1), jnp.asarray(gt1)))
@@ -329,8 +344,16 @@ def main():
             precisions.append(res["precision"])
             mscores.append(res["matching_score"])
         aucs = pose_auc(errors, [5, 10, 20])
+        # Bootstrap sigma over pairs (VERDICT r4 weak #7: report spread
+        # so A/B deltas can be judged against sampling noise).
+        bs = np.random.default_rng(7)
+        errs = np.asarray(errors)
+        sig = float(np.std([pose_auc(errs[bs.integers(0, len(errs),
+                                                      len(errs))], [5])[0]
+                            for _ in range(200)]))
         return {
             "auc@5": round(float(aucs[0]), 4),
+            "auc@5_sigma": round(sig, 4),
             "auc@10": round(float(aucs[1]), 4),
             "auc@20": round(float(aucs[2]), 4),
             "precision": round(float(np.mean(precisions)), 4),

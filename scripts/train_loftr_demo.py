@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""LoFTR end-to-end: train the dense matcher from scratch, report pose AUC.
+
+The reference treats LoFTR as a first-class matcher but ships only a
+wrapper around the downloaded outdoor_ds checkpoint
+(/root/reference/dloc/core/matchers/loftr.py:24-61). This script
+produces the framework's own dense-pipeline accuracy row (VERDICT r4
+missing #6): train the flax LoFTR's coarse dual-softmax stage on
+on-device streaming scene pairs (data/device_synth — the round-4
+memorization fix), with coarse-cell GT assignments derived from known
+depth+pose geometry, then score pose AUC on the SAME held-out val
+protocol as the sparse matchers (scripts/train_matching_demo.py seed-99
+scenes) so the row sits next to SIFT+NN / SP+SG in BASELINE.md.
+
+Prints ONE JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+os.makedirs(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+            exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                 ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--hw", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--d_coarse", type=int, default=192)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--val_pairs", type=int, default=200)
+    ap.add_argument("--ckpt_dir", type=str, default="")
+    ap.add_argument("--max_steps_per_segment", type=int, default=0)
+    args = ap.parse_args()
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from oetr_tpu.data.device_synth import make_device_generator
+    from oetr_tpu.data.megadepth import MegaDepthPairsDataset
+    from oetr_tpu.data.synthetic import generate_scene
+    from oetr_tpu.evalx.metrics import pose_auc
+    from oetr_tpu.evalx.twoview import validation_error
+    from oetr_tpu.models.loftr import LoFTR
+    from oetr_tpu.models.matchers import nearest_neighbor_match
+    from oetr_tpu.models.sift_based import sift_keypoints
+    from oetr_tpu.training.loftr import make_loftr_train_step
+    from oetr_tpu.training.superglue import gt_matches_batch
+
+    t0 = time.time()
+    hw = args.hw
+    hc = hw // 8
+
+    model = LoFTR(d_coarse=args.d_coarse, d_fine=96,
+                  coarse_layers=args.layers, max_matches=1024)
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, hw, hw, 1)),
+                                 jnp.zeros((1, hw, hw, 1)))
+
+    ckpt = None
+    final_path = None
+    if args.ckpt_dir:
+        import orbax.checkpoint as ocp
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        ckpt = ocp.StandardCheckpointer()
+        final_path = os.path.abspath(os.path.join(args.ckpt_dir, "loftr"))
+
+    restored = False
+    if ckpt is not None and os.path.exists(final_path):
+        log("restoring final loftr params")
+        params = ckpt.restore(final_path, params)
+        restored = True
+
+    # Coarse cell centers in full-res pixels (stride 8, cell center at
+    # 8*i + 3.5 — ops/nms.sample_descriptors convention).
+    u = jnp.arange(hc, dtype=jnp.float32) * 8 + 3.5
+    gy, gx = jnp.meshgrid(u, u, indexing="ij")
+    centers = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # [N,2]
+    lum = jnp.asarray([0.299, 0.587, 0.114])
+
+    if not restored and args.steps > 0:
+        gen = make_device_generator(hw, args.batch,
+                                    scale_range=(1.0, 2.0), p_translate=0.5)
+
+        @jax.jit
+        def prep(raw):
+            g0 = (raw["image1"] @ lum)[..., None]
+            g1 = (raw["image2"] @ lum)[..., None]
+            b = g0.shape[0]
+            ctr = jnp.tile(centers[None], (b, 1, 1))
+            ones = jnp.ones(ctr.shape[:2], bool)
+            T = jax.vmap(lambda p2, p1: p2 @ jnp.linalg.inv(p1))(
+                raw["pose2"], raw["pose1"])
+            gt = gt_matches_batch(ctr, ones, ctr, ones, raw["depth1"],
+                                  raw["K1"], T, raw["K2"],
+                                  depth1=raw["depth2"], radius=6.0)
+            return g0, g1, gt
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.piecewise_constant_schedule(
+                args.lr, {int(args.steps * 0.7): 0.1})))
+        opt = tx.init(params)
+        state = {"params": params, "opt": opt,
+                 "step": jnp.zeros((), jnp.int32)}
+        state_path = (os.path.abspath(os.path.join(args.ckpt_dir,
+                                                   "loftr_state"))
+                      if ckpt is not None else None)
+        if state_path and os.path.exists(state_path):
+            log("restoring loftr segment state")
+            state = ckpt.restore(state_path, state)
+        params, opt = state["params"], state["opt"]
+        start = int(state["step"])
+        step_fn = make_loftr_train_step(model, tx)
+        base = jax.random.key(17)
+        seg = 0
+        for it in range(start, args.steps):
+            raw = gen(jax.random.fold_in(base, it))
+            g0, g1, gt = prep(raw)
+            params, opt, m = step_fn(params, opt, g0, g1, gt)
+            if it % 100 == 0:
+                loss = float(m["loss"])
+                log(f"step {it} coarse-nll {loss:.4f} "
+                    f"({time.time() - t0:.0f}s)")
+                if not np.isfinite(loss):
+                    raise RuntimeError(f"diverged at {it}")
+            seg += 1
+            if (args.max_steps_per_segment and ckpt is not None
+                    and seg >= args.max_steps_per_segment
+                    and (it + 1) < args.steps):
+                import shutil
+                new = state_path + ".new"
+                for p in (new, new + ".orbax-checkpoint-tmp"):
+                    if os.path.exists(p):
+                        shutil.rmtree(p)
+                ckpt.save(new, jax.tree.map(jnp.asarray, {
+                    "params": params, "opt": opt,
+                    "step": jnp.asarray(it + 1, jnp.int32)}))
+                ckpt.wait_until_finished()
+                if os.path.exists(state_path):
+                    shutil.rmtree(state_path)
+                os.rename(new, state_path)
+                log(f"segment limit reached at step {it + 1}; re-exec")
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+        if ckpt is not None and not os.path.exists(final_path):
+            ckpt.save(final_path, jax.tree.map(jnp.asarray, params))
+            ckpt.wait_until_finished()
+
+    # ---- eval: same protocol as the sparse-matcher gate --------------
+    tmp = tempfile.mkdtemp(prefix="oetr_loftr_")
+    val_txt = generate_scene(os.path.join(tmp, "val"),
+                             n_pairs=args.val_pairs, image_hw=hw, seed=99,
+                             scale_range=(1.0, 2.0), p_translate=0.5)
+    val_ds = MegaDepthPairsDataset(os.path.join(tmp, "val"), val_txt,
+                                   image_size=(hw, hw), train=False)
+    items = [val_ds[i] for i in range(len(val_ds))]
+
+    @jax.jit
+    def match(g0, g1):
+        return model.apply(params, g0, g1)
+
+    def gray_of(item, key):
+        return np.dot(item[key][..., :3],
+                      [0.299, 0.587, 0.114]).astype(np.float32)[..., None]
+
+    CH = 8
+    mk = []
+    for s in range(0, len(items), CH):
+        chunk = items[s:s + CH]
+        padn = CH - len(chunk)
+        padded = chunk + [chunk[-1]] * padn
+        g0 = jnp.asarray(np.stack([gray_of(i, "image1") for i in padded]))
+        g1 = jnp.asarray(np.stack([gray_of(i, "image2") for i in padded]))
+        out = match(g0, g1)
+        for j in range(len(chunk)):
+            mk.append((np.asarray(out["mkpts0"][j]),
+                       np.asarray(out["mkpts1"][j]),
+                       np.asarray(out["valid"][j])))
+
+    def score(run_pair):
+        errors, precisions, n_match = [], [], []
+        for pi, it_ in enumerate(items):
+            xy0, xy1, matches = run_pair(pi, it_)
+            n_match.append(matches.shape[1])
+            T = it_["pose2"] @ np.linalg.inv(it_["pose1"])
+            res = validation_error(xy0, xy1, matches, it_["intrinsics1"],
+                                   it_["intrinsics2"], T)
+            errors.append(max(res["error_t"], res["error_R"]))
+            precisions.append(res["precision"])
+        aucs = pose_auc(errors, [5, 10, 20])
+        bs = np.random.default_rng(7)
+        errs = np.asarray(errors)
+        sig = float(np.std([pose_auc(errs[bs.integers(0, len(errs),
+                                                      len(errs))], [5])[0]
+                            for _ in range(200)]))
+        return {"auc@5": round(float(aucs[0]), 4),
+                "auc@5_sigma": round(sig, 4),
+                "auc@10": round(float(aucs[1]), 4),
+                "auc@20": round(float(aucs[2]), 4),
+                "precision": round(float(np.mean(precisions)), 4),
+                "matches_per_pair": round(float(np.mean(n_match)), 1)}
+
+    def loftr_pair(pi, it_):
+        m0, m1, v = mk[pi]
+        sel = np.nonzero(v)[0]
+        # pairwise keypoints: index i matches index i (loftr.py wrapper
+        # semantics — dense matches ARE the keypoints).
+        return (m0[sel], m1[sel],
+                np.stack([np.arange(len(sel)), np.arange(len(sel))]))
+
+    def sift_pair(pi, it_):
+        g0 = cv2.cvtColor((it_["image1"] * 255).astype(np.uint8),
+                          cv2.COLOR_RGB2GRAY)
+        g1 = cv2.cvtColor((it_["image2"] * 255).astype(np.uint8),
+                          cv2.COLOR_RGB2GRAY)
+        xy0, _, v0, d0 = sift_keypoints(g0, 512, with_descriptors=True)
+        xy1, _, v1, d1 = sift_keypoints(g1, 512, with_descriptors=True)
+        m = nearest_neighbor_match(jnp.asarray(d0)[None],
+                                   jnp.asarray(d1)[None],
+                                   jnp.asarray(v0)[None],
+                                   jnp.asarray(v1)[None],
+                                   ratio_threshold=0.95)
+        m0 = np.asarray(m["matches0"][0])
+        sel = m0 > -1
+        return xy0, xy1, np.stack([np.nonzero(sel)[0], m0[sel]])
+
+    rows = {"loftr": score(loftr_pair), "sift_nn": score(sift_pair)}
+    print(json.dumps({
+        "metric": "loftr_pose_auc",
+        "steps": args.steps, "hw": hw, "d_coarse": args.d_coarse,
+        "val_pairs": args.val_pairs,
+        **rows,
+        "wall_s": round(time.time() - t0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

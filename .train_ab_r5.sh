@@ -1,10 +1,8 @@
 #!/bin/bash
 # Round-5 flagship OETR training (VERDICT r4 #2): ResNet50/d=256/4L —
 # the shipped config (config.oetr_r50_config shapes) — with the round-4
-# winning recipe: on-device infinite pairs + aux InfoNCE 0.5 + heatmap
-# CE 1.0 + size loss 0.5 + difficulty reweight 1.0, 12k steps @ 256^2
-# batch 16. Segmented (host-leak workaround): train in --skip_eval
-# chunks, then one final eval invocation at n=200 on a fresh val seed.
+# winning recipe. Train segments on the TPU; the final n=200 evals run
+# with JAX_PLATFORMS=cpu so the chip is free for the next training job.
 set -e
 cd /root/repo
 ARGS="--depth 50 --d_model 256 --layers 4 --dec_layers 2 --hw 256 \
@@ -16,12 +14,4 @@ for SEG in 2000 4000 6000 8000 10000 12000; do
   python scripts/overlap_ab_demo.py $ARGS --steps $SEG --skip_eval \
     --val_pairs 8 --val_seed 4242
 done
-# Final evals: fresh held-out val (seed 4242, n=200), heatmap decode
-# (the round-4 winner, fixed a priori) and the reference tlbr head.
-python scripts/overlap_ab_demo.py $ARGS --steps 12000 \
-  --val_pairs 200 --val_seed 4242 --box_source heatmap \
-  > .ab_r5_flagship_heatmap.json
-python scripts/overlap_ab_demo.py $ARGS --steps 12000 \
-  --val_pairs 200 --val_seed 4242 --box_source tlbr \
-  > .ab_r5_flagship_tlbr.json
-echo FLAGSHIP_DONE
+echo FLAGSHIP_TRAIN_DONE

@@ -269,12 +269,17 @@ class DensePipeline:
              scales0, scales1, use_overlap: bool):
         b = image0.shape[0]
         if use_overlap and self.oetr is not None:
+            from ..models.oetr import decode_boxes
+
             out = self.oetr.apply(self.oetr_params, oetr_img0, oetr_img1,
                                   deterministic=True)
+            d0, d1 = decode_boxes(out, oetr_img0.shape[1:3],
+                                  oetr_img1.shape[1:3],
+                                  source=self.cfg.box_source,
+                                  q=self.cfg.box_q, pad=self.cfg.box_pad)
             s0 = jnp.concatenate([scales0, scales0], axis=-1)
             s1 = jnp.concatenate([scales1, scales1], axis=-1)
-            bbox0, bbox1, used = gate_boxes(out["pred_bbox1"] * s0,
-                                            out["pred_bbox2"] * s1,
+            bbox0, bbox1, used = gate_boxes(d0 * s0, d1 * s1,
                                             full_hw0, full_hw1, self.cfg)
         else:
             bbox0 = jnp.stack([jnp.zeros((b,)), jnp.zeros((b,)),

@@ -108,6 +108,26 @@ def main():
                          "the 1200-step SG didn't even fit its 192 "
                          "pre-extracted pairs)")
     ap.add_argument("--sg_lr", type=float, default=1e-4)
+    ap.add_argument("--teacher", choices=("corner", "ha", "none"),
+                    default="corner",
+                    help="texture-domain detector supervision for the "
+                         "--device_data SP phase. 'ha' = homographic "
+                         "adaptation from the CURRENT detector "
+                         "(SuperPoint paper §5) — round-5 measured "
+                         "result: a clean 12k HA run left "
+                         "repeatability@3px UNCHANGED (0.266) and its "
+                         "keypoint stream starved the SG phase into "
+                         "dustbin collapse (10 matches/pair, assign "
+                         "recall 0.013): the shapes-only detector has "
+                         "no texture response for the averaging to "
+                         "stabilize, so the forced label budget "
+                         "distills noise. 'corner' (default) = static "
+                         "Shi-Tomasi corner teacher "
+                         "(training/superpoint.make_corner_labeler), "
+                         "whose own repeatability on these scenes is "
+                         "0.74 — above SIFT's 0.68 — active from step "
+                         "0. 'none' = shapes+descriptor only (the "
+                         "round-4 shipped recipe).")
     ap.add_argument("--max_steps_per_segment", type=int, default=0,
                     help="checkpoint full phase state and re-exec the "
                          "process after this many optimizer steps "
@@ -289,19 +309,24 @@ def main():
         sp_start = int(state["step"])
         if sp_start:
             rng = np.random.default_rng(1000 + sp_start)
-        if args.device_data:
-            # Homographic adaptation (round 4): the shapes-only detector
-            # measured 0.21 repeatability@3px on texture scenes; from
-            # 40% of the budget on, stable multi-view peaks of the
-            # CURRENT detector on the texture stream become pseudo-
-            # corner labels (training/superpoint.make_ha_labeler) so the
-            # detector learns the matcher stack's actual domain.
+        if args.device_data and args.teacher != "none":
+            # Texture-domain detector supervision (see --teacher help):
+            # a second detector CE on the texture stream, labels either
+            # from homographic adaptation of the current detector ('ha',
+            # active from 40% of the budget) or from the static
+            # Shi-Tomasi corner teacher ('corner', active from step 0 —
+            # a static teacher needs no bootstrap phase).
             from oetr_tpu.training.superpoint import (
-                make_ha_labeler, make_superpoint_joint_ha_train_step)
-            ha_label = make_ha_labeler(net, sp_hw)
+                make_corner_labeler, make_ha_labeler,
+                make_superpoint_joint_ha_train_step)
+            if args.teacher == "ha":
+                ha_label = make_ha_labeler(net, sp_hw)
+                ha_start = int(args.sp_steps * 0.4)
+            else:
+                corner_label = make_corner_labeler(sp_hw)
+                ha_start = 0
             step_ha = make_superpoint_joint_ha_train_step(
                 net, tx, lambda_desc=1.0, lambda_ha=1.0)
-            ha_start = int(args.sp_steps * 0.4)
         else:
             step = make_superpoint_joint_train_step(net, tx,
                                                     lambda_desc=1.0)
@@ -312,10 +337,13 @@ def main():
             labels = jnp.asarray(corners_to_cell_labels(
                 corners, (sp_hw, sp_hw), counts))
             im0, im1, H = pair_batch(args.sp_batch, it)
-            if args.device_data:
+            if args.device_data and args.teacher != "none":
                 if it >= ha_start:
-                    hl = ha_label(sp_params, im0,
-                                  jax.random.fold_in(hp_base, 10 ** 6 + it))
+                    hl = (ha_label(sp_params, im0,
+                                   jax.random.fold_in(hp_base,
+                                                      10 ** 6 + it))
+                          if args.teacher == "ha"
+                          else corner_label(jnp.asarray(im0)))
                     ha_w = jnp.float32(1.0)
                 else:
                     hl = jnp.full((args.sp_batch, hc, hc), 64, jnp.int32)

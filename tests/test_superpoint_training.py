@@ -166,3 +166,40 @@ def test_ha_labeler_density_and_determinism(rng):
     n_labeled = (lab1 != 64).reshape(2, -1).sum(1)
     assert (n_labeled >= 5).all(), n_labeled      # density floor
     assert (n_labeled <= 24).all(), n_labeled     # top-K cap
+
+
+def test_corner_labeler_density_determinism_and_cv2_agreement():
+    """Round-5 Shi-Tomasi corner teacher (make_corner_labeler): label
+    budget respected, deterministic, 65-way encoding valid, and labels
+    land on cv2.goodFeaturesToTrack corners (the semantics it mirrors).
+    """
+    import cv2
+
+    from oetr_tpu.data.device_synth import make_homography_pair_generator
+    from oetr_tpu.training.superpoint import make_corner_labeler
+
+    hw = 128
+    lab = make_corner_labeler(hw, max_cells=64)
+    gen = make_homography_pair_generator(hw, 4, scale_range=(0.7, 1.4))
+    im0, _, _ = gen(jax.random.key(3))
+    L1 = np.asarray(lab(jnp.asarray(im0)))
+    L2 = np.asarray(lab(jnp.asarray(im0)))
+    np.testing.assert_array_equal(L1, L2)
+    assert L1.shape == (4, hw // 8, hw // 8)
+    assert L1.min() >= 0 and L1.max() <= 64
+    dens = (L1 != 64).reshape(4, -1).sum(1)
+    assert (dens > 16).all() and (dens <= 64).all(), dens
+
+    img = np.asarray(im0[0, :, :, 0])
+    pts = cv2.goodFeaturesToTrack((img * 255).astype(np.uint8), 64,
+                                  0.01, 4)
+    assert pts is not None
+    pts = pts[:, 0, :]
+    ys, xs = np.nonzero(L1[0] != 64)
+    sub = L1[0][ys, xs]
+    py = ys * 8 + sub // 8
+    px = xs * 8 + sub % 8
+    d = np.linalg.norm(np.stack([px, py], -1)[:, None] - pts[None],
+                       axis=-1).min(1)
+    # The majority of teacher labels must sit on a cv2 corner.
+    assert (d < 3.0).mean() > 0.5, (d < 3.0).mean()

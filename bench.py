@@ -307,8 +307,11 @@ def _measure_full_pipeline_trained(oetr_model, oetr_params, rng):
     sg_params = ck.restore(os.path.join(ckpt_dir, "superglue"), sg_tmpl)
     _log("trained stage: checkpoints restored")
 
+    # Heatmap box decode: the round-4/5 trained models' tlbr size head
+    # hedges to full frame while the heatmap localizes (BASELINE.md §3)
+    # — stage 5 runs the decode the trained A/B winner actually uses.
     pcfg = PipelineConfig(canvas_hw=(ch, cw), oetr_hw=(640, 640),
-                          fallback_min_matches=30)
+                          fallback_min_matches=30, box_source="heatmap")
     pipe = SparsePipeline(sp, sp_params, lambda d: sg.apply(sg_params, d),
                           oetr=oetr_model, oetr_params=oetr_params, cfg=pcfg)
 

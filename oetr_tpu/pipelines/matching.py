@@ -47,7 +47,11 @@ class PipelineConfig:
     fallback_min_matches: int = 30              # overlap_features.py:219
     retry_batch: int = 2                        # fixed retry-bucket size
                                                 # (0 = full-batch re-run)
-    box_source: str = "tlbr"                    # "tlbr" | "heatmap" (models.oetr.decode_boxes)
+    box_source: str = "heatmap"                 # "heatmap" | "tlbr" (models.oetr.decode_boxes)
+    # default flipped in round 5: the heatmap-quantile decode wins the
+    # trained A/B on a held-out n=200 val (flagship: guided 0.195 vs
+    # direct 0.100 AUC@5, >3sigma) while the reference-style tlbr head
+    # hedges to full frame at these budgets (BASELINE.md §3)
     box_q: float = 0.1                          # heatmap decode quantile
     box_pad: float = 0.2                        # heatmap decode padding
 

@@ -478,8 +478,13 @@ def main():
                          image_hw0=(hw, hw), image_hw1=(hw, hw))
             sg_params, opt, m = sg_step(sg_params, opt, batch)
             if it % 200 == 0:
+                # Supervision density: the round-5 HA run collapsed to
+                # dustbin with high match_acc because GT was starved —
+                # make that failure visible live.
+                n_gt = float(jnp.mean(jnp.sum(
+                    batch["gt_matches0"] >= 0, axis=-1)))
                 log(f"SG step {it} nll {float(m['loss']):.4f} acc "
-                    f"{float(m['match_acc']):.3f} "
+                    f"{float(m['match_acc']):.3f} gt/pair {n_gt:.0f} "
                     f"({time.time() - t0:.0f}s)")
             if (it + 1) % seg_tick == 0 and (it + 1) < args.sg_steps:
                 segment_tick(seg_tick, lambda: save_state(

@@ -212,9 +212,12 @@ def test_bucketed_retry_partial_batch(pipeline, rng):
     pipeline.oetr_params = oetr_params
     old_cfg = pipeline.cfg
     try:
-        imgs = [_textured_image(rng) for _ in range(3)]
+        imgs = [_textured_image(rng) for _ in range(4)]
         ps = [prepare_image(im, (96, 96), (64, 64)) for im in imgs]
-        batch = batch_pairs(ps, ps)
+        # Pairs 0/1: identity (many matches). Pair 2: two UNRELATED
+        # textures (few matches) — guarantees a count split so the
+        # partial-retry path is exercised.
+        batch = batch_pairs([ps[0], ps[1], ps[2]], [ps[0], ps[1], ps[3]])
         args = (jnp.asarray(batch["image0"]), jnp.asarray(batch["image1"]),
                 jnp.asarray(batch["full_hw0"]),
                 jnp.asarray(batch["full_hw1"]))

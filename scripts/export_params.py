@@ -35,7 +35,9 @@ def main():
                          "state was created with)")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Host task: never touch the accelerator (and the ambient
+    # environment may pin an accelerator platform — override it).
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     import jax.numpy as jnp
     import orbax.checkpoint as ocp

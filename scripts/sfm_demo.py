@@ -196,6 +196,30 @@ def main():
         kps = [np.asarray(e["keypoints"][i]) for i in range(n)]
         descs = [np.asarray(e["descriptors"][i]) for i in range(n)]
         valids = [np.asarray(e["valid"][i]) for i in range(n)]
+        sp_feats = e
+        # The real SuperGlue matcher on the shipped checkpoint (not NN
+        # over SP descriptors — SG doubles NN's assign precision,
+        # BASELINE.md §6).
+        from oetr_tpu.models.superglue import SuperGlue
+        sg = SuperGlue(descriptor_dim=128)
+        dummy = {
+            "keypoints0": jnp.zeros((1, k, 2)),
+            "keypoints1": jnp.zeros((1, k, 2)),
+            "scores0": jnp.zeros((1, k)), "scores1": jnp.zeros((1, k)),
+            "descriptors0": jnp.zeros((1, k, 128)),
+            "descriptors1": jnp.zeros((1, k, 128)),
+            "valid0": jnp.ones((1, k), bool),
+            "valid1": jnp.ones((1, k), bool),
+        }
+        hw_t = (args.hw, args.hw)
+        sg_tmpl = jax.jit(lambda kk, dd: sg.init(
+            kk, dict(dd, image_hw0=hw_t, image_hw1=hw_t)))(
+                jax.random.key(1), dummy)
+        sgp = ocp.StandardCheckpointer().restore(
+            os.path.abspath(os.path.join(args.ckpt_dir, "superglue")),
+            sg_tmpl)
+        sg_match = jax.jit(lambda dd: sg.apply(
+            sgp, dict(dd, image_hw0=hw_t, image_hw1=hw_t)))
 
     # ---- match + two-view RANSAC per edge ----------------------------
     edges = [(i, j) for i in range(n) for j in range(i + 1, n)
@@ -203,10 +227,22 @@ def main():
     matches = {}
     rel = {}       # (i, j) -> (R, t_unit) cam_i -> cam_j
     for (i, j) in edges:
-        m = nearest_neighbor_match(
-            jnp.asarray(descs[i])[None], jnp.asarray(descs[j])[None],
-            jnp.asarray(valids[i])[None], jnp.asarray(valids[j])[None],
-            ratio_threshold=0.95)
+        if args.matcher == "sp_sg":
+            m = sg_match({
+                "keypoints0": sp_feats["keypoints"][i:i + 1],
+                "keypoints1": sp_feats["keypoints"][j:j + 1],
+                "scores0": sp_feats["scores"][i:i + 1],
+                "scores1": sp_feats["scores"][j:j + 1],
+                "descriptors0": sp_feats["descriptors"][i:i + 1],
+                "descriptors1": sp_feats["descriptors"][j:j + 1],
+                "valid0": sp_feats["valid"][i:i + 1],
+                "valid1": sp_feats["valid"][j:j + 1],
+            })
+        else:
+            m = nearest_neighbor_match(
+                jnp.asarray(descs[i])[None], jnp.asarray(descs[j])[None],
+                jnp.asarray(valids[i])[None], jnp.asarray(valids[j])[None],
+                ratio_threshold=0.95)
         m0 = np.asarray(m["matches0"][0])
         sel = (m0 > -1) & valids[i]
         ia = np.nonzero(sel)[0]

@@ -294,4 +294,10 @@ class LoFTR(nn.Module):
             "conf": topv,
             "valid": valid,
             "coarse_conf": conf,
+            # Selected coarse cells + the pre-refinement position of the
+            # image-1 match — the handles fine-stage supervision needs
+            # (training/loftr.loftr_fine_loss).
+            "cells0": topi,
+            "cells1": j_idx,
+            "mkpts1_coarse": mk1_coarse,
         }

@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--d_coarse", type=int, default=192)
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--val_pairs", type=int, default=200)
+    ap.add_argument("--fine_weight", type=float, default=1.0,
+                    help="weight of the fine refinement loss (0 = coarse "
+                    "only, the round-5 first-run configuration)")
     ap.add_argument("--ckpt_dir", type=str, default="")
     ap.add_argument("--max_steps_per_segment", type=int, default=0)
     args = ap.parse_args()
@@ -68,7 +71,8 @@ def main():
     from oetr_tpu.models.loftr import LoFTR
     from oetr_tpu.models.matchers import nearest_neighbor_match
     from oetr_tpu.models.sift_based import sift_keypoints
-    from oetr_tpu.training.loftr import make_loftr_train_step
+    from oetr_tpu.training.loftr import (make_loftr_train_step,
+                                         warp_cell_centers_batch)
     from oetr_tpu.training.superglue import gt_matches_batch
 
     t0 = time.time()
@@ -118,7 +122,10 @@ def main():
             gt = gt_matches_batch(ctr, ones, ctr, ones, raw["depth1"],
                                   raw["K1"], T, raw["K2"],
                                   depth1=raw["depth2"], radius=6.0)
-            return g0, g1, gt
+            gt_xy1, gt_ok1 = warp_cell_centers_batch(
+                ctr, raw["depth1"], raw["K1"], T, raw["K2"],
+                depth1=raw["depth2"])
+            return g0, g1, gt, gt_xy1, gt_ok1
 
         tx = optax.chain(
             optax.clip_by_global_norm(1.0),
@@ -135,16 +142,24 @@ def main():
             state = ckpt.restore(state_path, state)
         params, opt = state["params"], state["opt"]
         start = int(state["step"])
-        step_fn = make_loftr_train_step(model, tx)
+        step_fn = make_loftr_train_step(model, tx,
+                                        fine_weight=args.fine_weight)
         base = jax.random.key(17)
         seg = 0
         for it in range(start, args.steps):
             raw = gen(jax.random.fold_in(base, it))
-            g0, g1, gt = prep(raw)
-            params, opt, m = step_fn(params, opt, g0, g1, gt)
+            g0, g1, gt, gt_xy1, gt_ok1 = prep(raw)
+            if args.fine_weight:
+                params, opt, m = step_fn(params, opt, g0, g1, gt,
+                                         gt_xy1, gt_ok1)
+            else:
+                params, opt, m = step_fn(params, opt, g0, g1, gt)
             if it % 100 == 0:
                 loss = float(m["loss"])
-                log(f"step {it} coarse-nll {loss:.4f} "
+                fine = (f" fine {float(m['fine_loss']):.4f} "
+                        f"(sup {float(m['fine_frac']):.3f})"
+                        if "fine_loss" in m else "")
+                log(f"step {it} loss {loss:.4f}{fine} "
                     f"({time.time() - t0:.0f}s)")
                 if not np.isfinite(loss):
                     raise RuntimeError(f"diverged at {it}")
@@ -254,6 +269,7 @@ def main():
     print(json.dumps({
         "metric": "loftr_pose_auc",
         "steps": args.steps, "hw": hw, "d_coarse": args.d_coarse,
+        "fine_weight": args.fine_weight,
         "val_pairs": args.val_pairs,
         **rows,
         "wall_s": round(time.time() - t0, 1),

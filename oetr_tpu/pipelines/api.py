@@ -78,6 +78,110 @@ def build_model(extractor: str = "superpoint_aachen",
                       "overlaper": overlaper, "config": cfg}
 
 
+def build_shipped_model(matcher: str = "superglue",
+                        with_overlap: bool = False,
+                        ckpt_root: str | None = None,
+                        cfg: PipelineConfig | None = None):
+    """Assemble a pipeline from the repo's committed trained checkpoints.
+
+    The reference's ``build_model`` resolves every component to a
+    *downloaded* checkpoint (dloc/core/extract_features.py:22,
+    overlap_features.py:30-46); this is the equivalent surface for the
+    from-scratch weights shipped in this repo (README "Shipped
+    checkpoints"): SuperPoint+SuperGlue from ``.ckpt_matching_r5``,
+    LoFTR from ``.ckpt_loftr_r5``, the flagship OETR overlaper from
+    ``.ckpt_oetr_r5``. Model hyper-parameters are pinned to the shipped
+    training configs (desc 128 / LoFTR d=192+96), which differ from the
+    registry's reference-conf dims.
+
+    Args:
+      matcher: ``"superglue"`` (SP+SG sparse) or ``"loftr"`` (dense).
+      with_overlap: prepend the trained OETR overlap gate.
+      ckpt_root: directory holding the ``.ckpt_*`` dirs (default: the
+        repo root this package sits in).
+    Returns:
+      (pipeline, config-dict) like :func:`build_model`.
+    Raises:
+      FileNotFoundError: when a required checkpoint dir is absent.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    root = ckpt_root or os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".."))
+    ck = ocp.StandardCheckpointer()
+
+    def restore(rel, tmpl):
+        path = os.path.join(root, rel)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"shipped checkpoint missing: {path} (train it via the "
+                "scripts/ demos or pass explicit params to build_model)")
+        return ck.restore(path, tmpl)
+
+    cfg = cfg or PipelineConfig(box_source="heatmap")
+    rng = jax.random.key(0)
+    ch, cw = cfg.canvas_hw
+
+    oetr = oetr_params = None
+    if with_overlap:
+        from ..config import oetr_r50_config
+        from ..models import build_oetr
+        oetr = build_oetr(oetr_r50_config())
+        oh, ow = cfg.oetr_hw
+        od = jnp.zeros((1, oh, ow, 3), jnp.float32)
+        oetr_params = restore(".ckpt_oetr_r5/params",
+                              jax.jit(oetr.init)(rng, od, od))
+
+    if matcher == "loftr":
+        from ..models.loftr import LoFTR
+        lf = LoFTR(d_coarse=192, d_fine=96, coarse_layers=4,
+                   max_matches=1024)
+        dummy = jnp.zeros((1, ch, cw, 1), jnp.float32)
+        lp = restore(".ckpt_loftr_r5/loftr",
+                     jax.jit(lf.init)(rng, dummy, dummy))
+        pipeline = DensePipeline(lf, lp, oetr, oetr_params, cfg)
+        return pipeline, {"matcher": "loftr", "extractor": None,
+                          "overlaper": "oetr" if with_overlap else None,
+                          "config": cfg}
+
+    if matcher != "superglue":
+        raise ValueError(f"no shipped weights for matcher {matcher!r}")
+    from ..models.superglue import SuperGlue
+    from ..models.superpoint import SuperPoint, SuperPointNet
+
+    desc, k = 128, 2048
+    net = SuperPointNet(descriptor_dim=desc)
+    raw = restore(".ckpt_matching_r5/superpoint",
+                  jax.jit(net.init)(rng, jnp.zeros((1, 128, 128, 1))))
+    sp = SuperPoint(max_keypoints=k, keypoint_threshold=0.0,
+                    descriptor_dim=desc)
+    sp_params = {"params": {"net": raw["params"]}}
+
+    sg = SuperGlue(descriptor_dim=desc)
+    dummy_data = {
+        "keypoints0": jnp.zeros((1, k, 2)), "keypoints1": jnp.zeros((1, k, 2)),
+        "scores0": jnp.zeros((1, k)), "scores1": jnp.zeros((1, k)),
+        "descriptors0": jnp.zeros((1, k, desc)),
+        "descriptors1": jnp.zeros((1, k, desc)),
+        "valid0": jnp.ones((1, k), bool), "valid1": jnp.ones((1, k), bool),
+    }
+    # image_hw stays a static python tuple (jit would trace it and break
+    # the keypoint normalization's max()).
+    sg_params = restore(
+        ".ckpt_matching_r5/superglue",
+        jax.jit(lambda kk, dd: sg.init(
+            kk, dict(dd, image_hw0=cfg.canvas_hw,
+                     image_hw1=cfg.canvas_hw)))(rng, dummy_data))
+    pipeline = SparsePipeline(sp, sp_params,
+                              lambda data: sg.apply(sg_params, data),
+                              oetr, oetr_params, cfg)
+    return pipeline, {"matcher": "superglue", "extractor": "superpoint",
+                      "overlaper": "oetr" if with_overlap else None,
+                      "config": cfg}
+
+
 def get_matches(model, name0: str, name1: str, with_overlap: bool = True,
                 resize_max: int | None = 1024):
     """Match one image pair by path (ref: dloc/api.py:107-178).

@@ -149,6 +149,17 @@ def main():
         trained_status = f"failed: {type(e).__name__}: {e}"
         _log(f"trained-pipeline stage failed: {type(e).__name__}: {e}")
 
+    # Stage 6: the DENSE pipeline — the shipped fine-trained LoFTR
+    # (BASELINE.md §7: pose-AUC parity with SIFT+NN), matched pairs/s on
+    # one chip at the 256^2 eval protocol. Budget-gated last; warm runs
+    # always reach it.
+    dense = None
+    try:
+        if _remaining() > 90.0:
+            dense = _measure_loftr(rng)
+    except Exception as e:  # noqa: BLE001
+        _log(f"dense-pipeline stage failed: {type(e).__name__}: {e}")
+
     result = {
         "metric": "oetr_overlap_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
@@ -158,6 +169,8 @@ def main():
     }
     if full is not None:
         result["matched_pairs_per_sec_per_chip"] = full
+    if dense is not None:
+        result["dense_loftr_pairs_per_sec_per_chip"] = dense
     if trained is not None:
         result["matched_pairs_trained_weights_fallback"] = trained
     else:
@@ -167,6 +180,53 @@ def main():
             "status": trained_status}
         _log(f"TRAINED STAGE DID NOT RECORD A NUMBER: {trained_status}")
     print(json.dumps(result))
+
+
+def _measure_loftr(rng):
+    """Dense matcher throughput: shipped LoFTR forward, 256², batch 16.
+
+    Loads the fine-trained checkpoint (.ckpt_loftr_r5/loftr) when
+    present — random-init otherwise (identical compute graph, and the
+    artifact says which ran).
+    """
+    import orbax.checkpoint as ocp
+
+    from oetr_tpu.models.loftr import LoFTR
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    hw, batch, iters = 256, 16, 10
+    model = LoFTR(d_coarse=192, d_fine=96, coarse_layers=4,
+                  max_matches=1024)
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, hw, hw, 1)),
+                                 jnp.zeros((1, hw, hw, 1)))
+    ckpt = os.path.join(root, ".ckpt_loftr_r5", "loftr")
+    weights = "random_init"
+    if os.path.exists(ckpt):
+        params = ocp.StandardCheckpointer().restore(ckpt, params)
+        weights = "trained:.ckpt_loftr_r5"
+    _log(f"dense stage: LoFTR params {weights}")
+
+    @jax.jit
+    def fwd(g0, g1):
+        out = model.apply(params, g0, g1)
+        return out["mkpts0"], out["mkpts1"], out["valid"]
+
+    g0 = jnp.asarray(rng.uniform(0, 1, (batch, hw, hw, 1)), jnp.float32)
+    g1 = jnp.asarray(rng.uniform(0, 1, (batch, hw, hw, 1)), jnp.float32)
+    _log(f"dense stage: compiling (batch {batch})")
+    jax.block_until_ready(fwd(g0, g1))
+    _log("dense stage: compiled, measuring")
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fwd(g0, g1)
+    jax.block_until_ready(out)
+    pps = batch * iters / (time.perf_counter() - t0)
+    _log(f"dense stage: {pps:.1f} pairs/s")
+    return {"value": round(pps, 2), "unit": "pairs/s", "batch": batch,
+            "hw": hw, "weights": weights,
+            "stages": "loftr_coarse+dual_softmax+fine_refine"}
 
 
 def _measure_full_pipeline(oetr_model, oetr_params, rng) -> dict:

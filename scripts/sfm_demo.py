@@ -134,7 +134,7 @@ def main():
     ap.add_argument("--topk", type=int, default=1024)
     ap.add_argument("--max_span", type=int, default=3,
                     help="match view pairs (i, j) with j - i <= span")
-    ap.add_argument("--matcher", choices=("sift_nn", "sp_sg"),
+    ap.add_argument("--matcher", choices=("sift_nn", "sp_sg", "loftr"),
                     default="sift_nn")
     ap.add_argument("--ckpt_dir", default=".ckpt_matching_r5",
                     help="SP/SG checkpoint dir for --matcher sp_sg")
@@ -170,7 +170,36 @@ def main():
     k = args.topk
 
     # ---- detect ------------------------------------------------------
-    if args.matcher == "sift_nn":
+    if args.matcher == "loftr":
+        # Dense detector-free matcher (the repo's strongest learned
+        # stack, BASELINE.md §7). Track nodes are coarse grid cells:
+        # query-side matches ARE cell centers (the model samples there);
+        # target-side continuous correspondences are quantized to the
+        # nearest cell for cross-edge track linking (the standard
+        # dense-matcher-in-SfM compromise — observation noise is then
+        # bounded by the 8px cell, while the two-view RANSAC below
+        # still uses the CONTINUOUS fine-refined positions).
+        import orbax.checkpoint as ocp
+
+        from oetr_tpu.models.loftr import LoFTR
+        hc = args.hw // 8
+        lf = LoFTR(d_coarse=192, d_fine=96, coarse_layers=4,
+                   max_matches=1024)
+        tmpl = jax.jit(lf.init)(jax.random.key(0),
+                                jnp.zeros((1, args.hw, args.hw, 1)),
+                                jnp.zeros((1, args.hw, args.hw, 1)))
+        lfp = ocp.StandardCheckpointer().restore(
+            os.path.abspath(os.path.join(".ckpt_loftr_r5", "loftr")), tmpl)
+        lf_fwd = jax.jit(lambda a, b: lf.apply(lfp, a, b))
+        gray = jnp.asarray(images, jnp.float32).mean(-1,
+                                                     keepdims=True) / 255
+        u = np.arange(hc, dtype=np.float32) * 8 + 3.5
+        gy, gx = np.meshgrid(u, u, indexing="ij")
+        grid_xy = np.stack([gx.reshape(-1), gy.reshape(-1)],
+                           -1).astype(np.float32)
+        kps = [grid_xy for _ in range(n)]
+        valids = [np.ones(hc * hc, bool) for _ in range(n)]
+    elif args.matcher == "sift_nn":
         kps, descs, valids = [], [], []
         for im in images:
             g = cv2.cvtColor(im, cv2.COLOR_RGB2GRAY)
@@ -227,7 +256,31 @@ def main():
     matches = {}
     rel = {}       # (i, j) -> (R, t_unit) cam_i -> cam_j
     for (i, j) in edges:
-        if args.matcher == "sp_sg":
+        if args.matcher == "loftr":
+            out = lf_fwd(gray[i:i + 1], gray[j:j + 1])
+            v = np.asarray(out["valid"][0])
+            ia = np.asarray(out["cells0"][0])[v]          # unique rows
+            xy1 = np.asarray(out["mkpts1"][0])[v]         # continuous
+            conf = np.asarray(out["conf"][0])[v]
+            cb = (np.clip(np.round((xy1 - 3.5) / 8.0), 0,
+                          hc - 1).astype(np.int64))
+            ib = cb[:, 1] * hc + cb[:, 0]
+            # one observation per target cell (highest confidence) so
+            # union-find doesn't chain-merge distinct tracks.
+            order = np.argsort(-conf)
+            keep, seen = [], set()
+            for idx in order:
+                if int(ib[idx]) in seen:
+                    continue
+                seen.add(int(ib[idx]))
+                keep.append(idx)
+            keep = np.asarray(sorted(keep), np.int64)
+            ia, ib, xy1 = ia[keep], ib[keep], xy1[keep]
+            if len(ia) < 16:
+                continue
+            p0 = kps[i][ia].astype(np.float32)
+            p1 = xy1.astype(np.float32)
+        elif args.matcher == "sp_sg":
             m = sg_match({
                 "keypoints0": sp_feats["keypoints"][i:i + 1],
                 "keypoints1": sp_feats["keypoints"][j:j + 1],
@@ -243,14 +296,15 @@ def main():
                 jnp.asarray(descs[i])[None], jnp.asarray(descs[j])[None],
                 jnp.asarray(valids[i])[None], jnp.asarray(valids[j])[None],
                 ratio_threshold=0.95)
-        m0 = np.asarray(m["matches0"][0])
-        sel = (m0 > -1) & valids[i]
-        ia = np.nonzero(sel)[0]
-        ib = m0[sel]
-        if len(ia) < 16:
-            continue
-        p0 = kps[i][ia].astype(np.float32)
-        p1 = kps[j][ib].astype(np.float32)
+        if args.matcher != "loftr":
+            m0 = np.asarray(m["matches0"][0])
+            sel = (m0 > -1) & valids[i]
+            ia = np.nonzero(sel)[0]
+            ib = m0[sel]
+            if len(ia) < 16:
+                continue
+            p0 = kps[i][ia].astype(np.float32)
+            p1 = kps[j][ib].astype(np.float32)
         pad = max(64, 1 << int(np.ceil(np.log2(len(p0)))))
         P0 = np.zeros((pad, 2), np.float32)
         P1 = np.zeros((pad, 2), np.float32)
